@@ -1,0 +1,166 @@
+"""Pure-Python text kernels executed inside Arrow-batched pandas UDFs.
+
+These are this engine's re-implementations of the reference's per-document
+sequence operators (SURVEY §2.5): CoNLL tokenization with char offsets
+(ops.py:5, ops.py:91-95, ops.py:37-63), sentence splitting (ops.py:98-166),
+and the string-similarity scorers used for pairwise mention scoring. They
+run only inside ``mapInPandas``/``pandas_udf`` bodies — never as row-at-a-
+time Spark UDFs — and are importable directly for unit tests.
+
+Span convention: **exclusive end** (Python-slice style) everywhere. The
+reference mixes inclusive (ops.py:55-57, utils.py:295) and exclusive
+(normalize.py:206,214) conventions; we fix exclusive-end at this boundary
+once (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Same token classes as the reference tokenizer (ops.py:5): maximal
+# alphanumeric runs; every other char is its own token; spaces dropped.
+_TOKEN_RE = re.compile(r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]")
+
+_SENT_END_ALWAYS = "?!"
+_SENT_DOT_FOLLOW = set('ABCDEFGHIJKLMNOPQRSTUVWXYZ-"' + "'")
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """CoNLL-style tokenization with char offsets, exclusive end.
+
+    Matches the reference's token stream (CoNLL_tokenizer ops.py:91-95:
+    split on alnum-run boundaries, drop spaces) but assigns offsets in one
+    regex pass instead of the running find() cursor of input_form
+    (ops.py:37-63) — same result, O(n), and lossless by construction
+    (mirror of the assert at ops.py:94).
+    """
+    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+
+
+def conll_tokens(text: str) -> list[str]:
+    return [m.group(0) for m in _TOKEN_RE.finditer(text)]
+
+
+def sentence_spans(text: str) -> list[tuple[int, int]]:
+    """Sentence boundaries, exclusive-end spans over ``text``.
+
+    Same split rule as the reference (sentence_split ops.py:98-166): break
+    after ``?``/``!`` always; after ``.`` only when followed by a space and
+    an uppercase letter / quote / dash; no break within the final 2 chars.
+    The reference's >100-token force-chunking is handled downstream by the
+    extractor's windowing, not here, so spans always tile the text exactly.
+    """
+    spans: list[tuple[int, int]] = []
+    piv = 0
+    n = len(text)
+    for idx, ch in enumerate(text):
+        if ch in _SENT_END_ALWAYS:
+            if idx > n - 3:
+                spans.append((piv, n))
+                return spans
+            spans.append((piv, idx + 1))
+            piv = idx + 1
+        elif ch == ".":
+            if idx > n - 3:
+                spans.append((piv, n))
+                return spans
+            if text[idx + 1] == " " and text[idx + 2] in _SENT_DOT_FOLLOW:
+                spans.append((piv, idx + 1))
+                piv = idx + 1
+    if piv < n or not spans:
+        spans.append((piv, n))
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# String-similarity kernels (pairwise scoring stage).
+# Standard published algorithms (Jaro 1989, Winkler 1990; Levenshtein 1966)
+# implemented from their definitions.
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_sim(a: str, b: str) -> float:
+    """1 - normalized Levenshtein distance. Two-row DP, O(len(a)*len(b))."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    cur = [0] * (la + 1)
+    for j in range(1, lb + 1):
+        cur[0] = j
+        bj = b[j - 1]
+        for i in range(1, la + 1):
+            cost = 0 if a[i - 1] == bj else 1
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost)
+        prev, cur = cur, prev
+    return 1.0 - prev[la] / lb
+
+
+def jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and a[i] == b[j]:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions / 2
+    m = matches
+    return (m / la + m / lb + (m - t) / m) / 3
+
+
+def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
+    j = jaro(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * prefix_scale * (1 - j)
+
+
+def token_jaccard(a: str, b: str) -> float:
+    sa, sb = set(conll_tokens(a.lower())), set(conll_tokens(b.lower()))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def char_shingles(text: str, k: int = 3) -> set[str]:
+    """Character k-shingles of the lowercased, space-collapsed string —
+    the MinHash input unit for blocking."""
+    s = re.sub(r"\s+", " ", text.lower()).strip()
+    if len(s) < k:
+        return {s} if s else set()
+    return {s[i : i + k] for i in range(len(s) - k + 1)}

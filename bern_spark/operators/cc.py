@@ -1,0 +1,113 @@
+"""Transitive clustering: connected components over match edges.
+
+The fixpoint generalization of the reference's one-hop gene-ID merge map
+(``eid = goid2goid.get(eid, eid)``, normalize.py:89-95,591-592) — SURVEY
+§2.3 J6. Implemented as the alternating **large-star / small-star**
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) entirely in DataFrame ops:
+
+- large-star: for each node u, connect every *strictly larger* neighbor to
+  u's minimum neighborhood node (incl. u);
+- small-star: connect every neighbor <= u (and u) to the minimum.
+
+Each round is a groupBy-shuffle on node id; convergence when the edge set
+stops changing. Per-iteration ``localCheckpoint`` truncates lineage so
+plans don't grow across iterations (SURVEY §7 hard part e); the driver
+loop is the only imperative control flow in the engine.
+
+Node ids are arbitrary strings; ordering is lexicographic, which is stable
+and deterministic — cluster id = min member id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round.
+
+    Input/output: canonical undirected edge list (src < dst).
+    """
+    # neighborhood view: for each node u, its neighbors (both directions)
+    nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    m = grouped.withColumn("m", F.least(F.col("u"), F.array_min("vs")))
+    if large:
+        # connect neighbors > u to m(u)
+        out = m.select(
+            F.explode(F.filter("vs", lambda v: v > F.col("u"))).alias("a"),
+            F.col("m").alias("b"),
+        )
+    else:
+        # connect neighbors <= u (and u itself) to m(u)
+        out = m.select(
+            F.explode(
+                F.array_union(F.filter("vs", lambda v: v <= F.col("u")), F.array(F.col("u")))
+            ).alias("a"),
+            F.col("m").alias("b"),
+        )
+    return _canonical_undirected(out.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Return (node, cluster_id) with cluster_id = min node id in component.
+
+    ``edges``: DataFrame with string columns (src, dst). Self-loops and
+    duplicates tolerated.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .persist()
+    )
+    e = _canonical_undirected(edges).persist()
+    e = e.localCheckpoint(eager=True)
+
+    for i in range(max_iter):
+        e2 = _star_round(e, large=True)
+        e2 = _star_round(e2, large=False)
+        if checkpoint_every and i % checkpoint_every == 0:
+            e2 = e2.persist().localCheckpoint(eager=True)
+        # convergence: edge sets equal <=> same count and same union count
+        # (both canonical). Two cheap aggregates instead of exceptAll.
+        c_old, c_new = e.count(), e2.count()
+        if c_old == c_new:
+            diff = e2.exceptAll(e).limit(1).count()
+            if diff == 0:
+                e = e2
+                break
+        e = e2
+
+    # after convergence every edge is (root, member); root = min of component
+    labels = e.select(F.col("dst").alias("node"), F.col("src").alias("cluster_id"))
+    # nodes can appear as their own root or be isolated
+    out = (
+        nodes.join(labels, "node", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("node")))
+    )
+    # a root node itself may not appear as dst; coalesce covers it. But a
+    # node appearing as dst under two roots cannot happen post-convergence;
+    # guard with min() for determinism anyway.
+    out = out.groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
+    nodes.unpersist()
+    return out

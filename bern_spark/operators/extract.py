@@ -1,0 +1,200 @@
+"""Mention extraction: the NER stand-in (SURVEY §2.5 W1-W8, §2.10 U3/U4).
+
+The reference tags mentions with BioBERT + external Java taggers; the graft
+extracts them by dictionary n-gram matching plus regex taggers — but the
+*shape* of the computation is the Spark-idiomatic one:
+
+1. tokenize with char offsets — one Arrow-batched pandas UDF per text row
+   (the only Python step; mirrors CoNLL_tokenizer + input_form,
+   ops.py:5,37-63,91-95, with the exclusive-end fix of SURVEY §1.2);
+2. candidate n-gram spans — pure Catalyst array expressions
+   (``transform``/``sequence``/``flatten``/``explode``), JVM codegen;
+3. surface lookup — **broadcast hash join** against the lexicon
+   (extraction analog of the J1-J3 dictionary joins);
+4. longest-match containment pruning — per-(turn, etype) self-anti-join;
+5. W9 cross-type overlap resolution — window max over identical spans,
+   keep-the-higher-score with ties keeping both (ops.py:232-476, tie
+   fall-through at ops.py:292-298);
+6. P5 species stoplist filter (utils.py:279-308).
+
+At 100 TB the only shuffle here is the final window (partition-local by
+(conv_id, turn_idx) which is also the natural input partitioning); the
+lexicon join is broadcast, candidate generation is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bern_spark.datagen import SPECIES_STOPLIST
+from bern_spark.functions.pytext import tokenize_with_offsets
+from bern_spark.functions.text import canonical_text
+
+# Default candidate n-gram ceiling; ``extract_mentions`` derives the real
+# value from the lexicon (longest surface in CoNLL tokens, capped at 8 —
+# "c.1847G>T" alone is 5 tokens: c / . / 1847G / > / T).
+MAX_NGRAM = 8
+
+_TOKENS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("tok", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_TOKENS_TYPE)
+def tokens_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """CoNLL tokens with exclusive-end char offsets, Arrow-batched."""
+    for batch in texts:
+        yield batch.map(lambda t: tokenize_with_offsets(t) if t else [])
+
+
+def with_canonical_text(transcripts: DataFrame) -> DataFrame:
+    """Apply the P1-P4 canonical preprocessing chain; the resulting ``text``
+    is the invariant text all spans refer to."""
+    return transcripts.withColumn("text", canonical_text("text"))
+
+
+def candidate_spans(turns: DataFrame, max_ngram: int = MAX_NGRAM) -> DataFrame:
+    """All 1..max_ngram token-gram spans per turn, with exact text slices.
+
+    Pure Catalyst: per n, slide over the token array with
+    ``transform(sequence(...))``; flatten and explode once. No Python.
+    """
+    toks = tokens_udf(F.col("text"))
+    df = turns.withColumn("_toks", toks)
+    per_n = [
+        F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.struct(
+                    F.element_at(F.col("_toks"), i + 1)["start"].alias("start"),
+                    F.element_at(F.col("_toks"), i + n)["end"].alias("end"),
+                ),
+            ),
+        ).otherwise(F.array().cast(T.ArrayType(T.StructType([
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+        ]))))
+        for n in range(1, max_ngram + 1)
+    ]
+    df = df.withColumn("_spans", F.flatten(F.array(*per_n)))
+    df = df.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.explode("_spans").alias("_s"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("_s.start").alias("start"),
+        F.col("_s.end").alias("end"),
+        F.expr("substring(text, _s.start + 1, _s.end - _s.start)").alias("surface"),
+    )
+    return df
+
+
+def lexicon_max_ngram(lexicon: DataFrame, cap: int = MAX_NGRAM) -> int:
+    """Longest lexicon surface in CoNLL tokens — the candidate window the
+    extractor must generate. One tiny driver-side aggregate."""
+    n = lexicon.select(
+        F.max(F.size(tokens_udf(F.col("surface")))).alias("n")
+    ).collect()[0]["n"]
+    return min(int(n or 1), cap)
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    lexicon: DataFrame,
+    max_ngram: int | None = None,
+    apply_species_filter: bool = True,
+) -> DataFrame:
+    """Full extraction: canonical text -> candidates -> lexicon join ->
+    longest-match pruning -> W9 overlap resolution -> P5 stoplist.
+
+    Returns one row per surviving mention:
+    (conv_id, turn_idx, start, end, mention, etype, score, mention_id).
+    """
+    if max_ngram is None:
+        max_ngram = lexicon_max_ngram(lexicon)
+    turns = with_canonical_text(transcripts)
+    cands = candidate_spans(turns, max_ngram)
+
+    # 3. broadcast lexicon lookup (inner: non-matches are not mentions)
+    m = cands.join(
+        F.broadcast(lexicon.withColumnRenamed("weight", "score")),
+        on="surface",
+        how="inner",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "start",
+        "end",
+        F.col("surface").alias("mention"),
+        "etype",
+        "score",
+    )
+
+    # 4. longest-match containment pruning within (turn, etype): drop a
+    # mention strictly contained in a longer same-type mention. Self
+    # anti-join keyed by the turn — blocks are tiny, AQE handles residue.
+    a, b = m.alias("a"), m.alias("b")
+    contained = a.join(
+        b,
+        on=[
+            F.col("a.conv_id") == F.col("b.conv_id"),
+            F.col("a.turn_idx") == F.col("b.turn_idx"),
+            F.col("a.etype") == F.col("b.etype"),
+            F.col("b.start") <= F.col("a.start"),
+            F.col("b.end") >= F.col("a.end"),
+            (F.col("b.end") - F.col("b.start")) > (F.col("a.end") - F.col("a.start")),
+        ],
+        how="left_semi",
+    )
+    m = a.join(
+        contained.select(
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.turn_idx").alias("turn_idx"),
+            F.col("a.start").alias("start"),
+            F.col("a.end").alias("end"),
+            F.col("a.etype").alias("etype"),
+        ),
+        on=["conv_id", "turn_idx", "start", "end", "etype"],
+        how="left_anti",
+    )
+
+    # 5. W9: identical spans claimed by >1 etype -> keep max score; a tie
+    # keeps both (the reference's == fall-through, ops.py:292-298).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx", "start", "end")
+    m = (
+        m.withColumn("_max_score", F.max("score").over(w))
+        .where(F.col("score") == F.col("_max_score"))
+        .drop("_max_score")
+    )
+
+    # 6. P5 species stoplist (exact surface match, utils.py:279-308)
+    if apply_species_filter:
+        m = m.where(
+            ~((F.col("etype") == "species") & F.col("mention").isin(SPECIES_STOPLIST))
+        )
+
+    # Durable mention identity (replaces the reference's order-based zip
+    # identity, J10/normalize.py:571-576 — SURVEY §7 hard part c).
+    m = m.withColumn(
+        "mention_id",
+        F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string"), F.col("start").cast("string")),
+    )
+    return m

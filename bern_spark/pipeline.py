@@ -1,0 +1,184 @@
+"""End-to-end entity-resolution pipeline (SURVEY §3 Spark lifecycle).
+
+    transcripts --canonical text--> mentions --normalize--> oids
+        --block--> candidate pairs --score--> edges
+        --(∪ same-oid edges ∪ id_merge edges)--> connected components
+        --> cluster labels joined back to mentions
+
+The reference's lifecycle (server.py do_GET steps 1-5) maps stage-for-stage;
+every thread/process boundary is now a stage/shuffle boundary (SURVEY §3
+tail). Outputs:
+
+- ``mentions``: one row per surviving mention with norm_ids + cluster_id,
+  ordered by (conv_id, turn_idx, start) — W11 output ordering;
+- per-turn text invariance: the pipeline never rewrites ``text`` after the
+  canonical projection (convert.py:483-496 analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bern_spark.operators.blocking import candidate_pairs, with_block_keys
+from bern_spark.operators.cc import connected_components
+from bern_spark.operators.extract import extract_mentions
+from bern_spark.operators.normalize import CUI_LESS, attach_metadata, normalize_all
+from bern_spark.operators.scoring import score_pairs
+
+
+@dataclass
+class ERConfig:
+    score_threshold: float = 0.85
+    max_block_size: int = 200
+    use_lsh: bool = True
+    max_cc_iter: int = 25
+    # Cut lineage (localCheckpoint) after each major stage. Keeps Catalyst
+    # analysis cost O(stage) instead of O(pipeline) — without this, every
+    # action re-analyzes the full compound plan and driver time dominates.
+    # At cluster scale the same boundaries become persisted stage tables
+    # (bern_spark.lineage) for resumability.
+    checkpoint_stages: bool = True
+
+
+def resolve_entities(
+    transcripts: DataFrame,
+    lexicon: DataFrame,
+    dicts: dict[str, DataFrame],
+    id_merge: DataFrame | None = None,
+    config: ERConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns dict of result DataFrames.
+
+    ``dicts`` must hold dict_{gene,disease,drug,species,mutation},
+    dict_gene_{oldbest,freq}, meta_{gene,disease,drug}.
+    """
+    cfg = config or ERConfig()
+    cut = (lambda df: df.localCheckpoint()) if cfg.checkpoint_stages else (lambda df: df.persist())
+
+    mentions = cut(extract_mentions(transcripts, lexicon))
+    normalized = normalize_all(mentions, dicts)
+
+    # node identity for clustering: etype-scoped mention id (ties at the
+    # same span across etypes are distinct nodes)
+    normalized = cut(
+        normalized.withColumn("node", F.concat_ws("@", "etype", "mention_id"))
+    )
+
+    # --- edge sources -----------------------------------------------------
+    blocked = with_block_keys(normalized)
+    pairs = cut(
+        candidate_pairs(blocked, max_block_size=cfg.max_block_size, use_lsh=cfg.use_lsh)
+    )
+    scored = cut(score_pairs(pairs, threshold=cfg.score_threshold))
+    sim_edges = scored.select(
+        F.concat_ws("@", "etype", "mention_id_a").alias("src"),
+        F.concat_ws("@", "etype", "mention_id_b").alias("dst"),
+    )
+
+    # same-oid edges: all mentions resolving to one oid are one entity.
+    # Relationally: link every mention of an oid to the oid's anchor node
+    # "oid:<etype>:<oid>" — star edges, no per-oid quadratic pairs.
+    resolved = normalized.where(F.col("oid") != CUI_LESS)
+    oid_edges = resolved.select(
+        F.concat_ws("@", "etype", "mention_id").alias("src"),
+        F.concat_ws(":", F.lit("oid"), "etype", "oid").alias("dst"),
+    )
+
+    edges = sim_edges.unionByName(oid_edges)
+
+    # id_merge edges (J6 seed): old oid -> canonical oid, gene namespace
+    if id_merge is not None:
+        merge_edges = id_merge.select(
+            F.concat(F.lit("oid:gene:"), F.col("src_oid")).alias("src"),
+            F.concat(F.lit("oid:gene:"), F.col("dst_oid")).alias("dst"),
+        )
+        edges = edges.unionByName(merge_edges)
+
+    # --- clustering -------------------------------------------------------
+    labels = connected_components(edges, max_iter=cfg.max_cc_iter)
+
+    clustered = normalized.join(labels, normalized["node"] == labels["node"], "left").drop(
+        labels["node"]
+    )
+    clustered = clustered.withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("node"))
+    )
+
+    # metadata attach (J7/J8) per etype, union back
+    parts = []
+    for etype, meta_key in (("gene", "meta_gene"), ("disease", "meta_disease"), ("drug", "meta_drug")):
+        parts.append(
+            attach_metadata(clustered.where(F.col("etype") == etype), dicts[meta_key], etype)
+        )
+    others = clustered.where(~F.col("etype").isin("gene", "disease", "drug")).withColumn(
+        "norm_ids",
+        F.when(F.col("oid") == CUI_LESS, F.array(F.lit(CUI_LESS))).otherwise(
+            F.array(F.concat(F.lit("BERN:"), F.col("oid")))
+        ),
+    )
+    final = parts[0]
+    for p in parts[1:]:
+        final = final.unionByName(p)
+    final = final.unionByName(others)
+
+    # W11 output ordering: stable (conv_id, turn_idx, start, etype)
+    final = final.orderBy("conv_id", "turn_idx", "start", "etype")
+
+    # S7/W11: per-turn annotated output — canonical text + denotations
+    # array sorted by (start, etype), the PubAnnotation-sink analog
+    # (convert.py:467-556). Text equality per (conv_id, turn_idx) against
+    # the canonical input is the pipeline's per-row invariant.
+    from bern_spark.operators.extract import with_canonical_text
+
+    turns = with_canonical_text(transcripts)
+    denos = final.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("start", "end", "mention", "etype", "oid", "norm_ids", "cluster_id")
+            )
+        ).alias("denotations")
+    )
+    annotations = turns.join(denos, ["conv_id", "turn_idx"], "left").withColumn(
+        "denotations",
+        F.coalesce(
+            F.col("denotations"),
+            F.array().cast(denos.schema["denotations"].dataType),
+        ),
+    )
+
+    return {
+        "mentions": final,
+        "annotations": annotations,
+        "edges": edges,
+        "labels": labels,
+        "pairs_scored": scored,
+    }
+
+
+def pairwise_f1(labels: DataFrame, labeled_pairs: DataFrame) -> dict[str, float]:
+    """Evaluate predicted clustering against the labeled_pairs oracle
+    (FIXTURES §5): predicted match <=> same cluster_id. Node ids in labels
+    are ``etype@conv|turn|start``; labeled block_key carries ``etype:...``."""
+    lp = labeled_pairs.withColumn("etype", F.split("block_key", ":").getItem(0))
+    la = labels.withColumnRenamed("node", "node_a").withColumnRenamed("cluster_id", "ca")
+    lb = labels.withColumnRenamed("node", "node_b").withColumnRenamed("cluster_id", "cb")
+    j = (
+        lp.withColumn("node_a", F.concat_ws("@", "etype", "mention_id_a"))
+        .withColumn("node_b", F.concat_ws("@", "etype", "mention_id_b"))
+        .join(la, "node_a", "left")
+        .join(lb, "node_b", "left")
+        .withColumn("pred", (F.col("ca").isNotNull() & (F.col("ca") == F.col("cb"))))
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1, "tp": tp, "fp": fp, "fn": fn}

@@ -1,0 +1,58 @@
+"""SparkSession factory with the scale-oriented defaults this engine assumes.
+
+The reference is single-node (server.py:522-523 bounded queue; one GPU);
+scale-out is this rebuild's reason for being, so every knob that matters at
+100 TB is set explicitly here and documented.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bern_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for the ER pipeline.
+
+    Local testing uses ``local[N]``; on a real cluster the same configs hold
+    (shuffle partitions scale with input via AQE coalescing).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 32)))
+    )
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-plan — coalesce small shuffle partitions, split
+        # skewed ones (the hot-block defense the reference never needs
+        # because its "blocks" are single documents).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow is the only Python<->JVM path we allow (input_hint: no
+        # per-row Python). Batch size mirrors the reference's explicit
+        # micro-batching (run_ner.py:73 predict_batch_size) but at Arrow
+        # scale.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast all dictionary-style dims aggressively; every reference
+        # join (J1-J9 in SURVEY §2.3) is a dict lookup.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic session timezone for timestamp round-trips.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
