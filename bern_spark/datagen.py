@@ -122,8 +122,11 @@ def make_entities(rng: random.Random, per_type: int = 40) -> list[Entity]:
                     surfaces.append(v)
                     dict_names.append(v)
                 if etype == "species":
-                    # entry reachable only via lowercase fallback
-                    dict_names = [base]  # dict holds canonical case only
+                    # J2 fallback lowercases only the query
+                    # (species_normalizer.py:49-50) — so every 3rd species
+                    # is dict'd in lowercase ONLY and reached via the
+                    # fallback from its capitalized surface.
+                    dict_names = [base.lower()] if i % 3 == 0 else [base]
                 if etype == "gene":
                     surfaces.append(base + " gene")  # P8 suffix strip
             # typo variants: extractable, NOT in dict -> resolved by scoring

@@ -59,7 +59,12 @@ def normalize_species(mentions: DataFrame, dict_species: DataFrame) -> DataFrame
     exact = F.broadcast(
         dict_species.groupBy(F.col("name").alias("join_key")).agg(F.min("oid").alias("oid_exact"))
     )
-    lower = _bcast_lookup(dict_species, species_fallback_key, "oid_lower")
+    # fallback lowercases only the QUERY (species_normalizer.py:49-50:
+    # ``name.lower() in species2oid`` — dict keys stay raw), so an
+    # all-caps mention does NOT match a capitalized dictionary name.
+    lower = F.broadcast(
+        dict_species.groupBy(F.col("name").alias("join_key")).agg(F.min("oid").alias("oid_lower"))
+    )
     out = (
         mentions.withColumn("join_key", F.col("mention"))
         .join(exact, "join_key", "left")
