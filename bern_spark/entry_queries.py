@@ -1,0 +1,910 @@
+"""Driver-contract query library: Spark implementations + DuckDB oracles.
+
+Each query here is an operator family from SURVEY §2 (or a training-data
+op the 100 TB pipeline needs) expressed over the driver's testdata tables
+(region nation customer supplier part orders lineitem events documents
+embeddings). Every query has a DuckDB-runnable ANSI-ish oracle with
+IDENTICAL column names and engine-portable semantics:
+
+- hashes via md5 (identical hex in Spark and DuckDB) — never engine hash()
+- sums of doubles go through decimal or are rounded; ranks/counts are
+  exact bigints
+- all integer outputs cast to bigint to match DuckDB's BIGINT defaults
+
+Registered in ``__spark_entry__`` as ``queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bern_spark.functions.keys import species_taxid, tmchem_key
+
+# ---------------------------------------------------------------------------
+# shared inline fixtures (must match between Spark and SQL sides)
+# ---------------------------------------------------------------------------
+
+# tiny normalization dictionary over the documents vocabulary — the J1-J5
+# stand-in for the oracle-checkable ER slice (the full transcripts pipeline
+# has its own golden fixtures in tests/)
+ER_DICT = [
+    ("T1", "spark"),
+    ("T2", "hash"),
+    ("T3", "merge"),
+    ("T4", "window"),
+    ("T5", "scan"),
+    ("T6", "sort"),
+]
+
+# deterministic edge list exercising the J6/CC fixpoint (chains + cycle)
+CC_EDGES = [
+    ("b", "a"), ("c", "b"), ("d", "c"),
+    ("x", "y"), ("y", "z"), ("z", "x"),
+    ("m", "m"),
+    ("q", "p"), ("r", "p"), ("s", "r"),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _dict_cte() -> str:
+    vals = ", ".join(f"('{o}', '{n}')" for o, n in ER_DICT)
+    return f"er_dict(oid, name) AS (SELECT * FROM (VALUES {vals}) AS t(oid, name))"
+
+
+def _stop_cte() -> str:
+    vals = ", ".join(f"('{w}')" for w in STOPWORDS)
+    return f"stopwords(w) AS (SELECT * FROM (VALUES {vals}) AS t(w))"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents tokenized: (doc_id, pos, tok, start_off, end_off).
+
+    Offsets by running sum over single-space-joined tokens — the W2/W3
+    token+offset index, fully relational (no UDF: the documents corpus is
+    pre-normalized single-space text).
+    """
+    d = _read(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "tok",
+        F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0)).cast("long").alias("start_off"),
+    ).withColumn("end_off", (F.col("start_off") + F.length("tok")).cast("long"))
+
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id, pos, tok,
+         CAST(COALESCE(SUM(LENGTH(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos
+    FROM documents
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ER slice (S1/W2/W3 scan+tokenize, J1 normalize, blocking, A-aggs)
+# ---------------------------------------------------------------------------
+
+
+def q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3: dictionary unigram mentions with exact char offsets."""
+    lex = spark.createDataFrame(ER_DICT, ["oid", "name"])
+    t = _toks(spark, sf_dir)
+    return (
+        t.join(F.broadcast(lex), t["tok"] == lex["name"])
+        .select("doc_id", "pos", F.col("tok").alias("mention"), "start_off", "end_off", "oid")
+    )
+
+
+SQL_ER_MENTIONS = f"""
+WITH {_dict_cte()}, {_TOKS_SQL.strip()}
+SELECT t.doc_id, t.pos, t.tok AS mention, t.start_off,
+       t.start_off + LENGTH(t.tok) AS end_off, d.oid
+FROM toks t JOIN er_dict d ON t.tok = d.name
+"""
+
+
+def q_er_normalize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A4: per-oid mention counts with CUI-less for misses over a
+    sampled token stream (tokens starting with 's')."""
+    lex = spark.createDataFrame(ER_DICT, ["oid", "name"])
+    t = _toks(spark, sf_dir).where(F.col("tok").startswith("s"))
+    j = t.join(F.broadcast(lex), t["tok"] == lex["name"], "left")
+    return (
+        j.select(F.coalesce("oid", F.lit("CUI-less")).alias("oid"))
+        .groupBy("oid")
+        .agg(F.count("*").cast("long").alias("n_mentions"))
+    )
+
+
+SQL_ER_NORMALIZE_COUNTS = f"""
+WITH {_dict_cte()}, {_TOKS_SQL.strip()}
+SELECT COALESCE(d.oid, 'CUI-less') AS oid, COUNT(*) AS n_mentions
+FROM toks t LEFT JOIN er_dict d ON t.tok = d.name
+WHERE t.tok LIKE 's%'
+GROUP BY 1
+"""
+
+
+def q_er_block_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking profile: block key = first char; size and pair count —
+    the block-size scan behind salted repartitioning."""
+    t = _toks(spark, sf_dir)
+    return (
+        t.groupBy(F.substring("tok", 1, 1).alias("block_key"))
+        .agg(F.count("*").cast("long").alias("block_size"))
+        .withColumn("pair_count", (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long"))
+    )
+
+
+SQL_ER_BLOCK_SIZES = f"""
+WITH {_TOKS_SQL.strip()}
+SELECT SUBSTRING(tok, 1, 1) AS block_key, COUNT(*) AS block_size,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS pair_count
+FROM toks GROUP BY 1
+"""
+
+
+def q_er_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 fixpoint: connected components labels on the fixture edge list
+    (chains + cycle + self-loop) via large-star/small-star; oracle is a
+    recursive min-label reachability in DuckDB."""
+    from bern_spark.operators.cc import connected_components
+
+    edges = spark.createDataFrame(CC_EDGES, ["src", "dst"])
+    return connected_components(edges).orderBy("node")
+
+
+_CC_VALS = ", ".join(f"('{s}', '{d}')" for s, d in CC_EDGES)
+SQL_ER_CC = f"""
+WITH RECURSIVE e(src, dst) AS (SELECT * FROM (VALUES {_CC_VALS}) AS t(s, d)),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, r.r FROM und u JOIN reach r ON u.dst = r.node
+)
+SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q_tmchem_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 key function over part names (ASCII): lower + strip non-alnum."""
+    p = _read(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        tmchem_key(F.col("p_name")).alias("tmchem_key"),
+    )
+
+
+SQL_TMCHEM_KEY = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       regexp_replace(lower(p_name), '[^0-9a-z]', '', 'g') AS tmchem_key
+FROM part
+"""
+
+
+def q_species_taxid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: oid//100 taxid transform over numeric keys."""
+    p = _read(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        species_taxid(F.col("p_partkey").cast("string")).alias("taxid"),
+    )
+
+
+SQL_SPECIES_TAXID = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       'NCBI:txid' || CAST(p_partkey // 100 AS VARCHAR) AS taxid
+FROM part
+"""
+
+
+def q_nth_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W10: n-th occurrence index of each repeated token in a doc
+    (the mutation re-anchoring counter, relational form)."""
+    t = _toks(spark, sf_dir)
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    return (
+        t.withColumn("occ", F.row_number().over(w).cast("long"))
+        .where(F.col("tok") == "spark")
+        .select("doc_id", "pos", "occ")
+    )
+
+
+SQL_NTH_OCCURRENCE = f"""
+WITH {_TOKS_SQL.strip()}
+SELECT doc_id, pos, occ FROM (
+  SELECT doc_id, pos, tok,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS BIGINT) AS occ
+  FROM toks
+) WHERE tok = 'spark'
+"""
+
+
+def q_freq_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: frequency-dictionary build — tokens with count >= 50
+    (make_freq_dict, gene_auxiliary_normalizer.py:46-60)."""
+    t = _toks(spark, sf_dir)
+    return (
+        t.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .where(F.col("freq") >= 50)
+    )
+
+
+SQL_FREQ_DICT = f"""
+WITH {_TOKS_SQL.strip()}
+SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok HAVING COUNT(*) >= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keeper = min doc_id per text."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper"),
+            F.count("*").cast("long").alias("copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-token-shingle Jaccard >= 0.2, docs 0..199
+    (bounded so the oracle stays cheap; the scale path buckets by the
+    dedup_minhash bands instead of a bounded cross join)."""
+    t = _toks(spark, sf_dir).where(F.col("doc_id") < 200)
+    sh = (
+        t.withColumn("nxt", F.lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .withColumn("nx2", F.lead("tok", 2).over(Window.partitionBy("doc_id").orderBy("pos")))
+        .where(F.col("nx2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt", "nx2").alias("sh"))
+        .dropDuplicates()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+    return out
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_TOKS_SQL.strip()},
+sh AS (
+  SELECT DISTINCT t.doc_id,
+         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS sh
+  FROM toks t
+  WHERE t.doc_id < 200
+  WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.pos)
+),
+sh2 AS (SELECT * FROM sh WHERE sh IS NOT NULL),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY 1)
+SELECT i.doc_a, i.doc_b, i.inter,
+       ROUND(i.inter / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures via engine-portable md5 minima: 4 seeded
+    permutations over distinct token unigrams; band key = md5 of the
+    concatenated signature. The LSH-bucket building block."""
+    t = _toks(spark, sf_dir).select("doc_id", "tok").dropDuplicates()
+    sigs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(str(s)), F.lit("|"), F.col("tok")), "utf-8"))).alias(f"h{s}")
+        for s in range(4)
+    ]
+    g = t.groupBy("doc_id").agg(*sigs)
+    return g.select(
+        "doc_id",
+        F.md5(F.encode(F.concat_ws("#", "h0", "h1"), "utf-8")).alias("band0"),
+        F.md5(F.encode(F.concat_ws("#", "h2", "h3"), "utf-8")).alias("band1"),
+    )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_TOKS_SQL.strip()},
+dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+g AS (
+  SELECT doc_id,
+         MIN(md5('0' || '|' || tok)) AS h0, MIN(md5('1' || '|' || tok)) AS h1,
+         MIN(md5('2' || '|' || tok)) AS h2, MIN(md5('3' || '|' || tok)) AS h3
+  FROM dt GROUP BY doc_id
+)
+SELECT doc_id, md5(h0 || '#' || h1) AS band0, md5(h2 || '#' || h3) AS band1 FROM g
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit SimHash from md5 hex digits of distinct tokens (portable bit
+    source): bit b set when the majority of tokens have hex digit b >= 8."""
+    t = _toks(spark, sf_dir).select("doc_id", "tok").dropDuplicates()
+    h = t.withColumn("hx", F.md5(F.encode("tok", "utf-8")))
+    bits = [
+        F.sum(
+            F.when(F.substring("hx", b + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(8)
+    ]
+    g = h.groupBy("doc_id").agg(*bits)
+    expr = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(8)),
+        F.lit(0),
+    )
+    return g.select("doc_id", expr.cast("long").alias("simhash"))
+
+
+_SIM_BITS = " + ".join(
+    f"CASE WHEN SUM(CASE WHEN SUBSTRING(md5(tok), {b + 1}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+    f"THEN {2 ** b} ELSE 0 END"
+    for b in range(8)
+)
+SQL_DEDUP_SIMHASH = f"""
+WITH {_TOKS_SQL.strip()},
+dt AS (SELECT DISTINCT doc_id, tok FROM toks)
+SELECT doc_id, CAST({_SIM_BITS} AS BIGINT) AS simhash FROM dt GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       ROUND(len(list_distinct(string_split(text, ' '))) /
+             len(string_split(text, ' ')), 4) AS ttr
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score: stopword ratio + mean token length; low-quality flag."""
+    t = _toks(spark, sf_dir)
+    sw = spark.createDataFrame([(w,) for w in STOPWORDS], ["w"])
+    j = t.join(F.broadcast(sw), t["tok"] == sw["w"], "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.when(F.col("w").isNotNull(), 1.0).otherwise(0.0)), 4).alias("stop_ratio"),
+            F.round(F.avg(F.length("tok")), 4).alias("mean_tok_len"),
+        )
+        .withColumn(
+            "low_quality",
+            (F.col("stop_ratio") > 0.5) | (F.col("mean_tok_len") < 2.5),
+        )
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH {_stop_cte()}, {_TOKS_SQL.strip()}
+SELECT doc_id,
+       ROUND(AVG(CASE WHEN s.w IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS stop_ratio,
+       ROUND(AVG(LENGTH(tok)), 4) AS mean_tok_len,
+       (ROUND(AVG(CASE WHEN s.w IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) > 0.5
+        OR ROUND(AVG(LENGTH(tok)), 4) < 2.5) AS low_quality
+FROM toks t LEFT JOIN stopwords s ON t.tok = s.w
+GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id: 'en' when any English stopword occurs;
+    aggregated per declared lang column."""
+    t = _toks(spark, sf_dir)
+    sw = spark.createDataFrame([(w,) for w in STOPWORDS], ["w"])
+    per_doc = (
+        t.join(F.broadcast(sw), t["tok"] == sw["w"], "left")
+        .groupBy("doc_id")
+        .agg((F.count("w") > 0).alias("is_en"))
+    )
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return (
+        d.join(per_doc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("long").alias("n_en_guess"),
+        )
+    )
+
+
+SQL_LANG_ID = f"""
+WITH {_stop_cte()}, {_TOKS_SQL.strip()},
+per_doc AS (
+  SELECT doc_id, COUNT(s.w) > 0 AS is_en
+  FROM toks t LEFT JOIN stopwords s ON t.tok = s.w GROUP BY doc_id
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN p.is_en THEN 1 ELSE 0 END) AS n_en_guess
+FROM documents d JOIN per_doc p USING (doc_id) GROUP BY d.lang
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over 3-token shingles
+    (rolling-hash analog, engine-portable)."""
+    t = _toks(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        t.withColumn("nxt", F.lead("tok", 1).over(w))
+        .withColumn("nx2", F.lead("tok", 2).over(w))
+        .where(F.col("nx2").isNotNull())
+        .select("doc_id", F.md5(F.encode(F.concat_ws(" ", "tok", "nxt", "nx2"), "utf-8")).alias("h"))
+    )
+    return sh.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {_TOKS_SQL.strip()},
+sh AS (
+  SELECT doc_id,
+         md5(tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w) AS h
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, MIN(h) AS fingerprint FROM sh WHERE h IS NOT NULL GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search family
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest.
+    Output is rank-only (ints) so the oracle compare is float-free."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    j = q.crossJoin(F.broadcast(c)).withColumn("sim", dot / (nrm(F.col("qv")) * nrm(F.col("cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv) /
+         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+FROM sims QUALIFY rank <= 5
+"""
+
+
+def q_lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket key: sign pattern of 4 deterministic
+    pseudo-hyperplanes h_j[i] = (i*31 + j*17) % 7 - 3 — identical integer
+    arithmetic in both engines; the scale path for ANN."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    def plane_dot(j: int):
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.transform(F.sequence(F.lit(0), F.size("embedding") - 1),
+                            lambda i: ((i * 31 + F.lit(j * 17)) % 7 - 3).cast("double")),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    bits = [F.when(plane_dot(j) > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(4)]
+    key = sum((b * F.lit(2 ** j) for j, b in enumerate(bits)), F.lit(0))
+    return e.select("vec_id", key.cast("long").alias("bucket"))
+
+
+SQL_LSH_COSINE_BUCKETS = """
+WITH d AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i + 1] AS DOUBLE) * ((i * 31 + 0) % 7 - 3))) AS d0,
+         list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i + 1] AS DOUBLE) * ((i * 31 + 17) % 7 - 3))) AS d1,
+         list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i + 1] AS DOUBLE) * ((i * 31 + 34) % 7 - 3))) AS d2,
+         list_sum(list_transform(range(len(embedding)),
+             i -> CAST(embedding[i + 1] AS DOUBLE) * ((i * 31 + 51) % 7 - 3))) AS d3
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST((CASE WHEN d0 > 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN d1 > 0 THEN 2 ELSE 0 END) +
+            (CASE WHEN d2 > 0 THEN 4 ELSE 0 END) +
+            (CASE WHEN d3 > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (A/J/O/W families over TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped decimal-exact aggregates (A-family)."""
+    l = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k (J/O-family)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(F.col("o_orderkey").cast("long").alias("o_orderkey"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4-style first-match/top-k per group: top-2 parts by quantity per
+    supplier via window rank."""
+    l = _read(spark, sf_dir, "lineitem")
+    g = l.groupBy(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+    ).agg(F.sum("l_quantity").cast("long").alias("qty"))
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("qty").desc(), F.col("l_partkey"))
+    return g.withColumn("rk", F.row_number().over(w).cast("long")).where(F.col("rk") <= 2)
+
+
+SQL_TOP_PARTS_PER_SUPPLIER = """
+WITH g AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(l_partkey AS BIGINT) AS l_partkey,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, l_partkey, qty,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY qty DESC, l_partkey) AS BIGINT) AS rk
+FROM g QUALIFY rk <= 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8-style sessionization: 30-min-gap sessions per user (lag + cumsum
+    edge detection — the relational form of the BIO span decode)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    s = s.withColumn(
+        "sess_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return s.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max("sess_idx").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+  FROM s
+)
+SELECT user_id, CAST(MAX(sess_idx) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s2 GROUP BY user_id
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregate (hourly), the batch form of the
+    streaming windowed count."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_orphan_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 CUI-less-ratio shape: per order-priority share of orders without
+    any lineitem (left join + conditional avg)."""
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem").select("l_orderkey").dropDuplicates()
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.avg(F.when(F.col("l_orderkey").isNull(), 1.0).otherwise(0.0)), 4).alias("orphan_ratio"),
+        )
+    )
+
+
+SQL_ORPHAN_RATIO = """
+WITH l AS (SELECT DISTINCT l_orderkey FROM lineitem)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(AVG(CASE WHEN l.l_orderkey IS NULL THEN 1.0 ELSE 0.0 END), 4) AS orphan_ratio
+FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship: full ER pipeline over documents-as-transcripts (rows-only check;
+# the SQL-expressible slices above are the oracle'd decomposition)
+# ---------------------------------------------------------------------------
+
+
+def er_pipeline_on_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real resolve_entities pipeline with documents mapped to the
+    transcripts input shape (doc_id -> conv_id, one turn per doc) and the
+    inline ER_DICT as both lexicon and drug dictionary."""
+    from pyspark.sql import types as T
+
+    from bern_spark.pipeline import ERConfig, resolve_entities
+
+    d = _read(spark, sf_dir, "documents")
+    transcripts = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    )
+    lexicon = spark.createDataFrame(
+        [("drug", n, 0.8) for _, n in ER_DICT], ["etype", "surface", "weight"]
+    )
+    dict_schema = T.StructType(
+        [T.StructField("oid", T.StringType()), T.StructField("name", T.StringType())]
+    )
+    meta_schema = T.StructType(
+        [
+            T.StructField("oid", T.StringType()),
+            T.StructField("ext_ids", T.ArrayType(T.StringType())),
+        ]
+    )
+    empty_d = spark.createDataFrame([], dict_schema)
+    empty_m = spark.createDataFrame([], meta_schema)
+    dicts = {
+        "dict_drug": spark.createDataFrame(ER_DICT, dict_schema),
+        "dict_disease": empty_d,
+        "dict_species": empty_d,
+        "dict_mutation": empty_d,
+        "dict_gene": empty_d,
+        "dict_gene_oldbest": empty_d,
+        "dict_gene_freq": empty_d,
+        "meta_gene": empty_m,
+        "meta_disease": empty_m,
+        "meta_drug": empty_m,
+    }
+    res = resolve_entities(
+        transcripts, lexicon, dicts, config=ERConfig(use_lsh=False, max_block_size=10_000)
+    )
+    return res["mentions"].select(
+        "conv_id", "turn_idx", "start", "end", "mention", "etype", "oid", "cluster_id", "norm_ids"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "er_pipeline": er_pipeline_on_documents,  # rows-only: full pipeline
+    "er_mentions": q_er_mentions,
+    "er_normalize_counts": q_er_normalize_counts,
+    "er_block_sizes": q_er_block_sizes,
+    "er_cc": q_er_cc,
+    "tmchem_key": q_tmchem_key,
+    "species_taxid": q_species_taxid,
+    "nth_occurrence": q_nth_occurrence,
+    "freq_dict": q_freq_dict,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_cosine": q_knn_cosine,
+    "lsh_cosine_buckets": q_lsh_cosine_buckets,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "top_parts_per_supplier": q_top_parts_per_supplier,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "orphan_ratio": q_orphan_ratio,
+}
+
+ORACLES = {
+    "er_mentions": SQL_ER_MENTIONS,
+    "er_normalize_counts": SQL_ER_NORMALIZE_COUNTS,
+    "er_block_sizes": SQL_ER_BLOCK_SIZES,
+    "er_cc": SQL_ER_CC,
+    "tmchem_key": SQL_TMCHEM_KEY,
+    "species_taxid": SQL_SPECIES_TAXID,
+    "nth_occurrence": SQL_NTH_OCCURRENCE,
+    "freq_dict": SQL_FREQ_DICT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "text_stats": SQL_TEXT_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "knn_cosine": SQL_KNN_COSINE,
+    "lsh_cosine_buckets": SQL_LSH_COSINE_BUCKETS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "top_parts_per_supplier": SQL_TOP_PARTS_PER_SUPPLIER,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "orphan_ratio": SQL_ORPHAN_RATIO,
+}

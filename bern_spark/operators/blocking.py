@@ -1,21 +1,26 @@
 """Blocking: candidate-pair generation without the O(n^2) blow-up.
 
-Two key families (SURVEY §7 step 4):
+Pairing operates on **distinct (etype, surface) strings**, never mention
+occurrences — the Spark form of the reference's name-level batching
+(normalize.py:196-219 dedups mentions by name before the normalizer
+round-trip). Identical surfaces are linked to one surface node by star
+edges in the clustering graph, so a surface occurring 10^9 times in a
+10^12-turn corpus contributes ONE node here, and the hot-block quadratic
+("cancer" pinning a key) collapses to the distinct-vocabulary quadratic.
 
-- **token block key**: the tmChem key of the mention's first CoNLL token —
-  the same normalization the reference uses as its dictionary join key
-  (chemical_normalizer.py:64-72), repurposed as a blocking key; always
-  prefixed by etype so blocks never cross entity types.
-- **MinHash-LSH bands** over character 3-shingles with seeded permutations
-  (the reference's determinism-by-seed discipline, server.py:595-597):
-  mentions sharing any band bucket become candidates even when their first
-  tokens differ (typos).
+Key families (SURVEY §7 step 4):
 
-Hot-block defense (SURVEY §7 hard part d): block sizes are computed
-relationally and blocks above ``max_block_size`` are **salted** — split
-into ceil(size/cap) shards; pairs are generated within each shard plus a
-deterministic cross-shard sample. At 100 TB the block-size profile is a
-cheap aggregate; AQE skew-join splitting backs this up at runtime.
+- **token block key**: tmChem key (chemical_normalizer.py:64-72) of the
+  first CoNLL token, etype-prefixed;
+- **full-surface key**: tmChem key of the whole surface — the J1
+  key-equivalence class (catches punctuation/space variants exactly);
+- **MinHash-LSH bands** over character 3-shingles with seeded
+  permutations (deterministic, md5-keyed — no PYTHONHASHSEED exposure),
+  catching typo variants whose token keys differ.
+
+Hot-block defense for *distinct-surface* blocks that are still large:
+block sizes are profiled relationally and oversized blocks are salted
+into shards; AQE skew-join splitting backs this up at runtime.
 """
 
 from __future__ import annotations
@@ -33,12 +38,10 @@ from bern_spark.functions.keys import tmchem_key
 from bern_spark.functions.pytext import char_shingles
 
 N_PERM = 16  # minhash permutations
-N_BANDS = 4  # 4 rows per band -> candidate recall tuned for short strings
+N_BANDS = 4  # 4 rows per band
 
 
 def _minhash_sig(s: str) -> list[int]:
-    """Seeded minhash signature via per-permutation keyed md5 — stable
-    across processes (no PYTHONHASHSEED dependence)."""
     sh = char_shingles(s)
     if not sh:
         return [0] * N_PERM
@@ -64,23 +67,28 @@ def minhash_udf(col: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def token_block_key(col) -> F.Column:
-    """etype-free token key: tmChem key of the first token."""
     first_tok = F.regexp_extract(col, r"[0-9a-zA-Z]+", 0)
     return tmchem_key(first_tok)
 
 
-def with_block_keys(mentions: DataFrame) -> DataFrame:
-    """Add ``block_key`` (first-token key), ``block_key_full`` (whole-
-    mention tmChem key — catches punctuation/space variants exactly, the
-    J1 key-equivalence class), and ``bands`` (LSH band buckets)."""
-    m = mentions.withColumn(
+def surface_nodes(mentions: DataFrame) -> DataFrame:
+    """Distinct (etype, surface) relation from a mentions DataFrame."""
+    return mentions.select("etype", F.col("mention").alias("surface")).dropDuplicates()
+
+
+def with_block_keys(surfaces: DataFrame) -> DataFrame:
+    """Add ``block_key`` (first-token key), ``block_key_full``
+    (whole-surface tmChem key), and ``bands`` (LSH band buckets) to a
+    distinct-surface relation. The minhash UDF runs once per DISTINCT
+    surface — vocabulary-bounded, not corpus-bounded."""
+    m = surfaces.withColumn(
         "block_key",
-        F.concat_ws(":", F.col("etype"), token_block_key(F.col("mention"))),
+        F.concat_ws(":", F.col("etype"), token_block_key(F.col("surface"))),
     ).withColumn(
         "block_key_full",
-        F.concat_ws(":", F.col("etype"), F.lit("fk"), tmchem_key(F.col("mention"))),
+        F.concat_ws(":", F.col("etype"), F.lit("fk"), tmchem_key(F.col("surface"))),
     )
-    m = m.withColumn("_sig", minhash_udf(F.col("mention")))
+    m = m.withColumn("_sig", minhash_udf(F.col("surface")))
     rows_per_band = N_PERM // N_BANDS
     bands = F.array(
         *[
@@ -97,61 +105,56 @@ def with_block_keys(mentions: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    mentions: DataFrame,
+    surfaces: DataFrame,
     max_block_size: int = 200,
     use_lsh: bool = True,
 ) -> DataFrame:
-    """Within-block pairs with ``a.mention_id < b.mention_id``, deduped
-    across key families. Returns (block_key, mention_id_a, mention_id_b,
-    mention_a, mention_b, etype).
+    """Within-block distinct-surface pairs, ``surface_a < surface_b``,
+    deduped across key families. Returns (block_key, mention_a, mention_b,
+    etype) — column names match the scoring stage's contract.
 
-    Salting: blocks larger than ``max_block_size`` are split by a
-    deterministic shard hash; pairs form within shards only. This bounds
-    per-block work at cap^2 — the quadratic-defuse required at 10^12-turn
-    scale where a surface like "cancer" would otherwise pin one key.
+    Salting: blocks larger than ``max_block_size`` split into shards by a
+    deterministic surface hash; pairs form within shards only, bounding
+    per-block work at cap^2.
     """
-    keyed = mentions.select(
-        "mention_id", "mention", "etype", F.col("block_key").alias("bkey")
+    keyed = surfaces.select(
+        "surface", "etype", F.col("block_key").alias("bkey")
     ).unionByName(
-        mentions.select(
-            "mention_id", "mention", "etype", F.col("block_key_full").alias("bkey")
-        )
+        surfaces.select("surface", "etype", F.col("block_key_full").alias("bkey"))
     )
     if use_lsh:
-        lsh = mentions.select(
-            "mention_id", "mention", "etype", F.explode("bands").alias("bkey")
+        keyed = keyed.unionByName(
+            surfaces.select("surface", "etype", F.explode("bands").alias("bkey"))
         )
-        keyed = keyed.unionByName(lsh)
-    # distinct mention-per-key (one mention can hit the same band twice)
-    keyed = keyed.dropDuplicates(["mention_id", "bkey"])
+    keyed = keyed.dropDuplicates(["surface", "etype", "bkey"])
 
-    # --- block-size profile + salting ---
     sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bsize"))
-    keyed = keyed.join(F.broadcast(sizes.where(F.col("bsize") > max_block_size)), "bkey", "left")
+    keyed = keyed.join(
+        F.broadcast(sizes.where(F.col("bsize") > max_block_size)), "bkey", "left"
+    )
     n_shards = F.ceil(F.col("bsize") / max_block_size)
-    keyed = keyed.withColumn(
-        "shard",
-        F.when(F.col("bsize").isNull(), F.lit(0)).otherwise(
-            F.pmod(F.hash("mention_id"), n_shards)
-        ),
-    ).withColumn("bkey", F.concat_ws("#", "bkey", F.col("shard").cast("string"))).drop(
-        "bsize", "shard"
+    keyed = (
+        keyed.withColumn(
+            "shard",
+            F.when(F.col("bsize").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.hash("surface"), n_shards)
+            ),
+        )
+        .withColumn("bkey", F.concat_ws("#", "bkey", F.col("shard").cast("string")))
+        .drop("bsize", "shard")
     )
 
     a = keyed.alias("a")
     b = keyed.alias("b")
-    pairs = (
+    return (
         a.join(b, on="bkey")
-        .where(F.col("a.mention_id") < F.col("b.mention_id"))
         .where(F.col("a.etype") == F.col("b.etype"))
+        .where(F.col("a.surface") < F.col("b.surface"))
         .select(
             F.col("bkey").alias("block_key"),
-            F.col("a.mention_id").alias("mention_id_a"),
-            F.col("b.mention_id").alias("mention_id_b"),
-            F.col("a.mention").alias("mention_a"),
-            F.col("b.mention").alias("mention_b"),
+            F.col("a.surface").alias("mention_a"),
+            F.col("b.surface").alias("mention_b"),
             F.col("a.etype").alias("etype"),
         )
-        .dropDuplicates(["mention_id_a", "mention_id_b", "etype"])
+        .dropDuplicates(["mention_a", "mention_b", "etype"])
     )
-    return pairs

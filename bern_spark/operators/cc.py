@@ -83,20 +83,28 @@ def connected_components(
     e = _canonical_undirected(edges).persist()
     e = e.localCheckpoint(eager=True)
 
+    def _sig(df: DataFrame):
+        # one aggregate job: (row count, order-insensitive xxhash sum) —
+        # canonical edge sets are equal iff signatures are equal (hash
+        # collision odds ~2^-64 per iteration; acceptable for a
+        # convergence check that only ever stops a loop *early*).
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
     for i in range(max_iter):
         e2 = _star_round(e, large=True)
         e2 = _star_round(e2, large=False)
         if checkpoint_every and i % checkpoint_every == 0:
             e2 = e2.persist().localCheckpoint(eager=True)
-        # convergence: edge sets equal <=> same count and same union count
-        # (both canonical). Two cheap aggregates instead of exceptAll.
-        c_old, c_new = e.count(), e2.count()
-        if c_old == c_new:
-            diff = e2.exceptAll(e).limit(1).count()
-            if diff == 0:
-                e = e2
-                break
+        sig2 = _sig(e2)
         e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
 
     # after convergence every edge is (root, member); root = min of component
     labels = e.select(F.col("dst").alias("node"), F.col("src").alias("cluster_id"))

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bern_spark.operators.blocking import candidate_pairs, with_block_keys
+from bern_spark.operators.blocking import candidate_pairs, surface_nodes, with_block_keys
 from bern_spark.operators.cc import connected_components
 from bern_spark.operators.extract import extract_mentions
 from bern_spark.operators.normalize import CUI_LESS, attach_metadata, normalize_all
@@ -68,26 +68,42 @@ def resolve_entities(
     )
 
     # --- edge sources -----------------------------------------------------
-    blocked = with_block_keys(normalized)
+    # Pairwise work runs on DISTINCT (etype, surface) strings only — the
+    # name-level batching of the reference (normalize.py:196-219) made
+    # structural: every mention links to its surface node by a star edge,
+    # so identical surfaces never generate quadratic pairs (the 10^12-turn
+    # hot-block defense; SURVEY §7 hard part d).
+    snode = lambda surf_col: F.concat_ws("#", F.lit("sf"), F.col("etype"), surf_col)  # noqa: E731
+
+    surfaces = surface_nodes(normalized)
+    blocked = with_block_keys(surfaces)
     pairs = cut(
         candidate_pairs(blocked, max_block_size=cfg.max_block_size, use_lsh=cfg.use_lsh)
     )
     scored = cut(score_pairs(pairs, threshold=cfg.score_threshold))
     sim_edges = scored.select(
-        F.concat_ws("@", "etype", "mention_id_a").alias("src"),
-        F.concat_ws("@", "etype", "mention_id_b").alias("dst"),
+        snode(F.col("mention_a")).alias("src"),
+        snode(F.col("mention_b")).alias("dst"),
     )
 
-    # same-oid edges: all mentions resolving to one oid are one entity.
-    # Relationally: link every mention of an oid to the oid's anchor node
-    # "oid:<etype>:<oid>" — star edges, no per-oid quadratic pairs.
-    resolved = normalized.where(F.col("oid") != CUI_LESS)
-    oid_edges = resolved.select(
+    # mention -> surface star edges
+    msurf_edges = normalized.select(
         F.concat_ws("@", "etype", "mention_id").alias("src"),
-        F.concat_ws(":", F.lit("oid"), "etype", "oid").alias("dst"),
+        snode(F.col("mention")).alias("dst"),
     )
 
-    edges = sim_edges.unionByName(oid_edges)
+    # surface -> oid star edges (same-oid transitivity without pair blow-up)
+    resolved = normalized.where(F.col("oid") != CUI_LESS)
+    oid_edges = (
+        resolved.select("etype", "mention", "oid")
+        .dropDuplicates()
+        .select(
+            snode(F.col("mention")).alias("src"),
+            F.concat_ws(":", F.lit("oid"), "etype", "oid").alias("dst"),
+        )
+    )
+
+    edges = sim_edges.unionByName(msurf_edges).unionByName(oid_edges)
 
     # id_merge edges (J6 seed): old oid -> canonical oid, gene namespace
     if id_merge is not None:
