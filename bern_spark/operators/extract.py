@@ -89,14 +89,13 @@ def candidate_spans(turns: DataFrame, max_ngram: int = MAX_NGRAM) -> DataFrame:
         for n in range(1, max_ngram + 1)
     ]
     df = df.withColumn("_spans", F.flatten(F.array(*per_n)))
+    passthrough = [c for c in turns.columns if c != "text"]
     df = df.select(
-        "conv_id",
-        "turn_idx",
+        *passthrough,
         "text",
         F.explode("_spans").alias("_s"),
     ).select(
-        "conv_id",
-        "turn_idx",
+        *passthrough,
         "text",
         F.col("_s.start").alias("start"),
         F.col("_s.end").alias("end"),
@@ -107,9 +106,12 @@ def candidate_spans(turns: DataFrame, max_ngram: int = MAX_NGRAM) -> DataFrame:
 
 def lexicon_max_ngram(lexicon: DataFrame, cap: int = MAX_NGRAM) -> int:
     """Longest lexicon surface in CoNLL tokens — the candidate window the
-    extractor must generate. One tiny driver-side aggregate."""
+    extractor must generate. One tiny JVM-side aggregate (regexp token
+    count mirrors the CoNLL token classes; no Python worker spin-up)."""
     n = lexicon.select(
-        F.max(F.size(tokens_udf(F.col("surface")))).alias("n")
+        F.max(
+            F.size(F.regexp_extract_all("surface", F.lit(r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]"), 0))
+        ).alias("n")
     ).collect()[0]["n"]
     return min(int(n or 1), cap)
 

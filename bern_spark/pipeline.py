@@ -49,17 +49,49 @@ def resolve_entities(
     dicts: dict[str, DataFrame],
     id_merge: DataFrame | None = None,
     config: ERConfig | None = None,
+    mirna_dict: DataFrame | None = None,
+    pathway_names: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns dict of result DataFrames.
 
     ``dicts`` must hold dict_{gene,disease,drug,species,mutation},
-    dict_gene_{oldbest,freq}, meta_{gene,disease,drug}.
+    dict_gene_{oldbest,freq}, meta_{gene,disease,drug}. Optional
+    ``mirna_dict``/``pathway_names`` enable the U4 regex taggers (applied
+    after W9 overlap resolution, like the reference's inline tagging at
+    normalize.py:221-231).
     """
     cfg = config or ERConfig()
     cut = (lambda df: df.localCheckpoint()) if cfg.checkpoint_stages else (lambda df: df.persist())
 
-    mentions = cut(extract_mentions(transcripts, lexicon))
+    mentions = extract_mentions(transcripts, lexicon)
+    if mirna_dict is not None or pathway_names:
+        from bern_spark.operators.extract import with_canonical_text
+        from bern_spark.operators.taggers import (
+            make_pathway_udf,
+            mirna_spans_udf,
+            tag_regex_mentions,
+        )
+
+        turns = with_canonical_text(transcripts)
+        extra = []
+        if mirna_dict is not None:
+            extra.append(tag_regex_mentions(turns, "miRNA", mirna_spans_udf))
+        if pathway_names:
+            extra.append(
+                tag_regex_mentions(turns, "pathway", make_pathway_udf(pathway_names))
+            )
+        for e in extra:
+            mentions = mentions.unionByName(e)
+    mentions = cut(mentions)
     normalized = normalize_all(mentions, dicts)
+    if mirna_dict is not None:
+        from bern_spark.operators.normalize import CUI_LESS as _CL
+        from bern_spark.operators.taggers import normalize_mirna
+
+        mir = normalized.where(F.col("etype") == "miRNA").drop("oid")
+        normalized = normalized.where(F.col("etype") != "miRNA").unionByName(
+            normalize_mirna(mir, mirna_dict)
+        )
 
     # node identity for clustering: etype-scoped mention id (ties at the
     # same span across etypes are distinct nodes)
@@ -77,9 +109,7 @@ def resolve_entities(
 
     surfaces = surface_nodes(normalized)
     blocked = with_block_keys(surfaces)
-    pairs = cut(
-        candidate_pairs(blocked, max_block_size=cfg.max_block_size, use_lsh=cfg.use_lsh)
-    )
+    pairs = candidate_pairs(blocked, max_block_size=cfg.max_block_size, use_lsh=cfg.use_lsh)
     scored = cut(score_pairs(pairs, threshold=cfg.score_threshold))
     sim_edges = scored.select(
         snode(F.col("mention_a")).alias("src"),
@@ -114,13 +144,22 @@ def resolve_entities(
         edges = edges.unionByName(merge_edges)
 
     # --- clustering -------------------------------------------------------
-    labels = connected_components(edges, max_iter=cfg.max_cc_iter)
-
-    clustered = normalized.join(labels, normalized["node"] == labels["node"], "left").drop(
-        labels["node"]
+    # CC runs on xxhash64 node ids: 8-byte shuffles instead of ~40-byte
+    # strings, integer compares in the star rounds. Collision odds at n
+    # nodes ~ n^2/2^65 (4e-7 at 4M nodes) — below the FP noise floor of
+    # the scoring stage itself.
+    edges_l = edges.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
     )
+    labels = connected_components(edges_l, max_iter=cfg.max_cc_iter)
+
+    keyed = normalized.withColumn("nid", F.xxhash64("node"))
+    clustered = keyed.join(labels, keyed["nid"] == labels["node"], "left").drop(
+        labels["node"]
+    ).drop("nid")
     clustered = clustered.withColumn(
-        "cluster_id", F.coalesce("cluster_id", F.col("node"))
+        "cluster_id",
+        F.coalesce(F.col("cluster_id").cast("string"), F.col("node")),
     )
 
     # metadata attach (J7/J8) per etype, union back
@@ -140,8 +179,11 @@ def resolve_entities(
         final = final.unionByName(p)
     final = final.unionByName(others)
 
-    # W11 output ordering: stable (conv_id, turn_idx, start, etype)
-    final = final.orderBy("conv_id", "turn_idx", "start", "etype")
+    # W11 output ordering lives where it is observable: the per-turn
+    # ``denotations`` arrays below are sort_array'd by (start, etype), and
+    # sinks (sources/pubtator.py) emit in that order. A global orderBy on
+    # the mentions relation would add a full sort + exchange for a
+    # presentation property relational consumers don't need.
 
     # S7/W11: per-turn annotated output — canonical text + denotations
     # array sorted by (start, etype), the PubAnnotation-sink analog
@@ -182,8 +224,8 @@ def pairwise_f1(labels: DataFrame, labeled_pairs: DataFrame) -> dict[str, float]
     la = labels.withColumnRenamed("node", "node_a").withColumnRenamed("cluster_id", "ca")
     lb = labels.withColumnRenamed("node", "node_b").withColumnRenamed("cluster_id", "cb")
     j = (
-        lp.withColumn("node_a", F.concat_ws("@", "etype", "mention_id_a"))
-        .withColumn("node_b", F.concat_ws("@", "etype", "mention_id_b"))
+        lp.withColumn("node_a", F.xxhash64(F.concat_ws("@", "etype", "mention_id_a")))
+        .withColumn("node_b", F.xxhash64(F.concat_ws("@", "etype", "mention_id_b")))
         .join(la, "node_a", "left")
         .join(lb, "node_b", "left")
         .withColumn("pred", (F.col("ca").isNotNull() & (F.col("ca") == F.col("cb"))))

@@ -1,0 +1,93 @@
+"""Incremental (streaming) annotation mode.
+
+The reference is request/response with no streaming surface (SURVEY §2.9);
+this module is the Spark-native extension. Streaming constraints shape the
+split honestly:
+
+- ``streaming_candidate_mentions``: the truly stateless prefix — canonical
+  text, Arrow tokenization, candidate n-grams, broadcast lexicon join, the
+  P5 stoplist filter. All row-local + stream-static join => valid in a
+  continuous streaming query. (W9 overlap resolution needs a window
+  function and containment pruning a self-join — both unsupported on
+  unbounded streams, so they stay out of this prefix.)
+- ``foreach_batch_resolver``: the FULL pipeline (overlap resolution,
+  normalization, blocking, scoring, per-batch clustering) inside
+  ``foreachBatch`` — each micro-batch is a bounded DataFrame where
+  everything is legal. Global cluster reconciliation across batches is a
+  periodic batch job over the accumulated outputs (the same
+  streaming/batch split production dedup systems use).
+- ``windowed_mention_counts``: event-time tumbling counts with watermark
+  state eviction — the streaming A2 analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bern_spark.datagen import SPECIES_STOPLIST
+from bern_spark.operators.extract import candidate_spans, with_canonical_text
+
+
+def streaming_candidate_mentions(
+    transcripts_stream: DataFrame,
+    lexicon: DataFrame,
+    watermark: str = "1 hour",
+    max_ngram: int = 4,
+    apply_species_filter: bool = True,
+) -> DataFrame:
+    """Stateless streaming mention matching; carries ``ts`` through for
+    event-time windowing downstream."""
+    s = with_canonical_text(transcripts_stream.withWatermark("ts", watermark))
+    # candidate_spans passes non-text columns through, so ts survives —
+    # no stream-stream self-join needed to recover event time
+    cands = candidate_spans(s.select("conv_id", "turn_idx", "ts", "text"), max_ngram)
+    m = cands.join(
+        F.broadcast(lexicon.withColumnRenamed("weight", "score")),
+        cands["surface"] == lexicon["surface"],
+        "inner",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "start",
+        "end",
+        cands["surface"].alias("mention"),
+        "etype",
+        "score",
+    )
+    if apply_species_filter:
+        m = m.where(
+            ~((F.col("etype") == "species") & F.col("mention").isin(SPECIES_STOPLIST))
+        )
+    return m
+
+
+def foreach_batch_resolver(lexicon: DataFrame, dicts: dict[str, DataFrame], sink_fn):
+    """foreachBatch callback running the FULL pipeline per micro-batch and
+    handing the mentions output to ``sink_fn(df, epoch_id)``."""
+    from bern_spark.pipeline import ERConfig, resolve_entities
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = resolve_entities(
+            batch_df, lexicon, dicts, config=ERConfig(checkpoint_stages=False)
+        )
+        sink_fn(res["mentions"], epoch_id)
+
+    return _fn
+
+
+def windowed_mention_counts(mentions_stream: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling counts per etype over the streaming mentions."""
+    return (
+        mentions_stream.groupBy(F.window("ts", window).alias("w"), "etype")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "etype",
+            "n_mentions",
+        )
+    )

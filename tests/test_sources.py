@@ -1,0 +1,147 @@
+"""PubTator source scan + sinks (S1/S7/S8) and regex taggers (U4/J11)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bern_spark.sources.pubtator import (
+    pubtator_docs_to_transcripts,
+    quarantine_pubtator,
+    read_pubtator,
+    to_pub_annotation,
+    to_pubtator,
+)
+
+PUBTATOR_SAMPLE = """\
+123|t|A title here.
+123|a|The abstract text with p.V600E mutation.
+123\t23\t30\tp.V600E\tProteinMutation\tp.V600E
+123\t5\t10\tjunk\tWildType\tx
+123\tbad line with few cols
+
+456|t|Only title doc.
+789|t|T.
+789|a|Abstract.
+789\t0\t1\tNo text\tSNP\trs1
+"""
+
+
+@pytest.fixture(scope="module")
+def pubtator_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pub") / "sample.pubtator"
+    p.write_text(PUBTATOR_SAMPLE, encoding="utf-8")
+    return str(p)
+
+
+def test_read_pubtator_docs(spark, pubtator_path):
+    docs = {r.pmid: r for r in read_pubtator(spark, pubtator_path).collect()}
+    assert set(docs) == {"123", "456", "789"}
+    assert docs["123"].title == "A title here."
+    assert docs["123"].abstract.startswith("The abstract")
+    muts = docs["123"].mutations
+    assert len(muts) == 1  # WildType filtered (P6)
+    assert muts[0].mention == "p.V600E" and muts[0].start == 23
+    assert docs["456"].abstract == ""
+    assert docs["789"].mutations == []  # 'No text' dropped (P7)
+
+
+def test_quarantine(spark, pubtator_path):
+    q = quarantine_pubtator(spark, pubtator_path).collect()
+    assert any("bad line" in r.raw for r in q)
+
+
+def test_docs_to_transcripts_concat_rule(spark, pubtator_path):
+    t = {r.conv_id: r.text for r in
+         pubtator_docs_to_transcripts(read_pubtator(spark, pubtator_path)).collect()}
+    assert t["123"] == "A title here. The abstract text with p.V600E mutation."
+    assert t["456"] == "Only title doc."  # no trailing space when no abstract
+
+
+def _ann_df(spark):
+    from pyspark.sql import types as T
+
+    deno_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("start", T.IntegerType()),
+                T.StructField("end", T.IntegerType()),
+                T.StructField("mention", T.StringType()),
+                T.StructField("etype", T.StringType()),
+                T.StructField("oid", T.StringType()),
+                T.StructField("norm_ids", T.ArrayType(T.StringType())),
+                T.StructField("cluster_id", T.StringType()),
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("denotations", deno_t),
+        ]
+    )
+    rows = [
+        (
+            "c1",
+            0,
+            "take aspirin now",
+            [(5, 12, "aspirin", "drug", "C1", ["MESH:D001241", "BERN:C1"], "k1")],
+        )
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pub_annotation_sink(spark):
+    out = to_pub_annotation(_ann_df(spark)).collect()[0].value
+    d = json.loads(out)
+    assert d["sourcedb"] == "c1" and d["sourceid"] == "0"
+    assert d["denotations"][0]["span"] == {"begin": 5, "end": 12}
+    assert d["denotations"][0]["obj"] == "drug"
+    assert d["denotations"][0]["ids"] == ["MESH:D001241", "BERN:C1"]
+
+
+def test_pubtator_sink(spark):
+    out = to_pubtator(_ann_df(spark)).collect()[0].value
+    lines = out.strip().split("\n")
+    assert lines[0] == "c1_0|t|take aspirin now"
+    assert lines[1] == "c1_0\t5\t12\taspirin\tdrug\tMESH:D001241|BERN:C1"
+
+
+def test_mirna_tagger_and_j11(spark):
+    from bern_spark.operators.taggers import (
+        mirna_spans_udf,
+        normalize_mirna,
+        tag_regex_mentions,
+    )
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "levels of miR-21 and hsa-mir-021-5p and MIR155 rose")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    m = tag_regex_mentions(turns, "miRNA", mirna_spans_udf)
+    got = {r.mention for r in m.collect()}
+    assert got == {"miR-21", "hsa-mir-021-5p", "MIR155"}
+    d = spark.createDataFrame(
+        [("MIRBASE:hsa21", "hsa-mir-21"), ("MIRBASE:mmu21", "mmu-mir-21"),
+         ("MIRBASE:x155", "xtr-mir-155")],
+        ["oid", "name"],
+    )
+    n = {r.mention: r.oid for r in normalize_mirna(m, d).collect()}
+    assert n["miR-21"] == "MIRBASE:hsa21"  # hsa- preferred
+    assert n["hsa-mir-021-5p"] == "MIRBASE:hsa21"  # -5p strip + zero strip
+    assert n["MIR155"] == "MIRBASE:x155"  # lone candidate wins
+
+
+def test_pathway_tagger(spark):
+    from bern_spark.operators.taggers import make_pathway_udf, tag_regex_mentions
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "the MAPK pathway and wnt signaling")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    m = tag_regex_mentions(turns, "pathway", make_pathway_udf(["MAPK", "notch"]))
+    got = {r.mention for r in m.collect()}
+    assert got == {"MAPK pathway"}

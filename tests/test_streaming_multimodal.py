@@ -1,0 +1,90 @@
+"""Streaming incremental mode + multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_streaming_candidate_mentions(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from bern_spark.streaming.incremental import (
+        streaming_candidate_mentions,
+        windowed_mention_counts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "stream_src")
+    import datetime
+
+    spark.createDataFrame(
+        [
+            ("c1", 0, "user", "take aspirin now", None,
+             datetime.datetime(2024, 1, 1, 0, 1)),
+            ("c1", 1, "user", "more aspirin and patients", None,
+             datetime.datetime(2024, 1, 1, 0, 2)),
+        ],
+        schema,
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    lex = spark.createDataFrame(
+        [("drug", "aspirin", 0.8), ("species", "patients", 0.8)],
+        ["etype", "surface", "weight"],
+    )
+    m = streaming_candidate_mentions(stream, lex)
+    agg = windowed_mention_counts(m)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.etype: r.n_mentions for r in spark.sql("select * from mcounts").collect()}
+    assert rows.get("drug") == 2
+    assert "species" not in rows  # stoplist filter applied in-stream
+
+
+def test_multimodal_features_and_frames(spark):
+    from bern_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        ("m1", "image", b"\x89PNGfake", ("image/png", 8, 8, None)),
+        ("m2", "video", b"\x00\x00vid", ("video/mp4", 64, 64, 3500)),
+        ("m3", "audio", None, ("audio/wav", None, None, 1000)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media, fake=True).collect()}
+    assert feats["m1"].n_bytes == 8
+    assert len(feats["m1"].feature) == 16
+    assert all(0.0 <= v <= 1.0 for v in feats["m1"].feature)
+    assert feats["m3"].n_bytes == 0  # null payload tolerated
+    # determinism
+    again = {r.media_id: r.feature for r in extract_features(media, fake=True).collect()}
+    assert again["m2"] == feats["m2"].feature
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r.media_id, r.frame_ts_ms) for r in frames} == {
+        ("m2", 0), ("m2", 1000), ("m2", 2000), ("m2", 3000),
+    }
+
+
+def test_decode_stub_raises():
+    from bern_spark.operators.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"x", "image")
