@@ -77,7 +77,10 @@ def scale_corpus(
                             roles[ti % 3],
                             " ".join(words),
                             r.choice(tools),
-                            base_ts + int(ci) * 3600 + ti * 60,
+                            # bounded horizon: wraps every 1M convs so ts
+                            # stays within pandas' ns-timestamp range at
+                            # any corpus size
+                            base_ts + (int(ci) % 1_000_000) * 60 + ti,
                         )
                     )
             out = _pd.DataFrame(

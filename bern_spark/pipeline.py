@@ -107,7 +107,12 @@ def resolve_entities(
     # hot-block defense; SURVEY §7 hard part d).
     snode = lambda surf_col: F.concat_ws("#", F.lit("sf"), F.col("etype"), surf_col)  # noqa: E731
 
-    surfaces = surface_nodes(normalized)
+    # distinct surfaces + their oids: ONE corpus-sized dedup, checkpointed
+    # so the blocking self-join and edge builds never rescan the corpus
+    surf_oid = cut(
+        normalized.select("etype", "mention", "oid").dropDuplicates(["etype", "mention"])
+    )
+    surfaces = surf_oid.select("etype", F.col("mention").alias("surface"))
     blocked = with_block_keys(surfaces)
     pairs = candidate_pairs(blocked, max_block_size=cfg.max_block_size, use_lsh=cfg.use_lsh)
     scored = cut(score_pairs(pairs, threshold=cfg.score_threshold))
@@ -116,24 +121,13 @@ def resolve_entities(
         snode(F.col("mention_b")).alias("dst"),
     )
 
-    # mention -> surface star edges
-    msurf_edges = normalized.select(
-        F.concat_ws("@", "etype", "mention_id").alias("src"),
-        snode(F.col("mention")).alias("dst"),
-    )
-
     # surface -> oid star edges (same-oid transitivity without pair blow-up)
-    resolved = normalized.where(F.col("oid") != CUI_LESS)
-    oid_edges = (
-        resolved.select("etype", "mention", "oid")
-        .dropDuplicates()
-        .select(
-            snode(F.col("mention")).alias("src"),
-            F.concat_ws(":", F.lit("oid"), "etype", "oid").alias("dst"),
-        )
+    oid_edges = surf_oid.where(F.col("oid") != CUI_LESS).select(
+        snode(F.col("mention")).alias("src"),
+        F.concat_ws(":", F.lit("oid"), "etype", "oid").alias("dst"),
     )
 
-    edges = sim_edges.unionByName(msurf_edges).unionByName(oid_edges)
+    edges = sim_edges.unionByName(oid_edges)
 
     # id_merge edges (J6 seed): old oid -> canonical oid, gene namespace
     if id_merge is not None:
@@ -144,23 +138,26 @@ def resolve_entities(
         edges = edges.unionByName(merge_edges)
 
     # --- clustering -------------------------------------------------------
-    # CC runs on xxhash64 node ids: 8-byte shuffles instead of ~40-byte
-    # strings, integer compares in the star rounds. Collision odds at n
-    # nodes ~ n^2/2^65 (4e-7 at 4M nodes) — below the FP noise floor of
-    # the scoring stage itself.
-    edges_l = edges.select(
-        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    # The clustering graph is VOCABULARY-sized: nodes are distinct
+    # surfaces + oid anchors (+ id_merge oids), never mention occurrences
+    # — a 10^12-turn corpus with 10^8 distinct surfaces runs CC on 10^8
+    # nodes, and mentions inherit their surface's cluster by one
+    # broadcast-able join afterwards. (Mention-level edges would make CC
+    # corpus-sized for zero information gain: a mention connects only
+    # through its surface.)
+    surf_labels = connected_components(edges, max_iter=cfg.max_cc_iter).select(
+        F.col("node").alias("_snode"), F.col("cluster_id").alias("_scluster")
     )
-    labels = connected_components(edges_l, max_iter=cfg.max_cc_iter)
 
-    keyed = normalized.withColumn("nid", F.xxhash64("node"))
-    clustered = keyed.join(labels, keyed["nid"] == labels["node"], "left").drop(
-        labels["node"]
-    ).drop("nid")
-    clustered = clustered.withColumn(
-        "cluster_id",
-        F.coalesce(F.col("cluster_id").cast("string"), F.col("node")),
+    # no explicit broadcast hint: vocab-sized here, but at 10^8 distinct
+    # surfaces AQE must be free to pick a shuffle join from runtime stats
+    clustered = normalized.withColumn("_snode", snode(F.col("mention"))).join(
+        surf_labels, "_snode", "left"
     )
+    clustered = clustered.withColumn(
+        "cluster_id", F.coalesce("_scluster", F.col("_snode"))
+    ).drop("_snode", "_scluster")
+    labels = clustered.select("node", "cluster_id")
 
     # metadata attach (J7/J8) per etype, union back
     parts = []
@@ -212,6 +209,9 @@ def resolve_entities(
         "annotations": annotations,
         "edges": edges,
         "labels": labels,
+        "surface_labels": surf_labels.select(
+            F.col("_snode").alias("node"), F.col("_scluster").alias("cluster_id")
+        ),
         "pairs_scored": scored,
     }
 
@@ -224,8 +224,8 @@ def pairwise_f1(labels: DataFrame, labeled_pairs: DataFrame) -> dict[str, float]
     la = labels.withColumnRenamed("node", "node_a").withColumnRenamed("cluster_id", "ca")
     lb = labels.withColumnRenamed("node", "node_b").withColumnRenamed("cluster_id", "cb")
     j = (
-        lp.withColumn("node_a", F.xxhash64(F.concat_ws("@", "etype", "mention_id_a")))
-        .withColumn("node_b", F.xxhash64(F.concat_ws("@", "etype", "mention_id_b")))
+        lp.withColumn("node_a", F.concat_ws("@", "etype", "mention_id_a"))
+        .withColumn("node_b", F.concat_ws("@", "etype", "mention_id_b"))
         .join(la, "node_a", "left")
         .join(lb, "node_b", "left")
         .withColumn("pred", (F.col("ca").isNotNull() & (F.col("ca") == F.col("cb"))))

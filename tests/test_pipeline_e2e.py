@@ -68,18 +68,9 @@ def test_id_merge_unifies_old_oids(result, dfs):
     chains = [s for (s, d) in edges if s != d]
     if not chains:
         pytest.skip("no merge edges in fixture")
-    labels = {r.node: r.cluster_id for r in result["labels"].collect()}
-    # labels are keyed by xxhash64(node string) — hash the oid node names
-    spark = result["labels"].sparkSession
-    names = [f"oid:gene:{x}" for pair in edges for x in pair]
-    hmap = {
-        r.s: r.h
-        for r in spark.createDataFrame([(n,) for n in names], ["s"])
-        .select("s", F.xxhash64("s").alias("h"))
-        .collect()
-    }
+    labels = {r.node: r.cluster_id for r in result["surface_labels"].collect()}
     for s, d in edges:
-        a, b = hmap[f"oid:gene:{s}"], hmap[f"oid:gene:{d}"]
+        a, b = f"oid:gene:{s}", f"oid:gene:{d}"
         if a in labels and b in labels:
             assert labels[a] == labels[b], (s, d)
 
