@@ -51,6 +51,7 @@ def resolve_entities(
     config: ERConfig | None = None,
     mirna_dict: DataFrame | None = None,
     pathway_names: list[str] | None = None,
+    lineage_store=None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns dict of result DataFrames.
 
@@ -59,9 +60,26 @@ def resolve_entities(
     ``mirna_dict``/``pathway_names`` enable the U4 regex taggers (applied
     after W9 overlap resolution, like the reference's inline tagging at
     normalize.py:221-231).
+
+    ``lineage_store`` (a ``bern_spark.lineage.LineageStore``) swaps the
+    in-memory stage cuts for durable parquet stage tables with manifests:
+    a restarted job resumes from the last completed stage (north-rule
+    resumability). Without it, stages cut lineage via localCheckpoint.
     """
     cfg = config or ERConfig()
-    cut = (lambda df: df.localCheckpoint()) if cfg.checkpoint_stages else (lambda df: df.persist())
+    if lineage_store is not None:
+        spark = transcripts.sparkSession
+        _stage_no = [0]
+
+        def cut(df):
+            _stage_no[0] += 1
+            name = f"stage_{_stage_no[0]:02d}"
+            return lineage_store.run_stage(spark, name, lambda: df)
+
+    elif cfg.checkpoint_stages:
+        cut = lambda df: df.localCheckpoint()  # noqa: E731
+    else:
+        cut = lambda df: df.persist()  # noqa: E731
 
     mentions = extract_mentions(transcripts, lexicon)
     if mirna_dict is not None or pathway_names:
