@@ -486,7 +486,7 @@ per_doc AS (
   FROM toks t LEFT JOIN stopwords s ON t.tok = s.w GROUP BY doc_id
 )
 SELECT d.lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN p.is_en THEN 1 ELSE 0 END) AS n_en_guess
+       CAST(SUM(CASE WHEN p.is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en_guess
 FROM documents d JOIN per_doc p USING (doc_id) GROUP BY d.lang
 """
 
@@ -846,7 +846,17 @@ def er_pipeline_on_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         transcripts, lexicon, dicts, config=ERConfig(use_lsh=False, max_block_size=10_000)
     )
     return res["mentions"].select(
-        "conv_id", "turn_idx", "start", "end", "mention", "etype", "oid", "cluster_id", "norm_ids"
+        "conv_id",
+        "turn_idx",
+        "start",
+        "end",
+        "mention",
+        "etype",
+        "oid",
+        "cluster_id",
+        # scalarize for the driver's canonicalizer (pandas sort_values cannot
+        # hash array<string>); the library API keeps the array form.
+        F.array_join("norm_ids", "|").alias("norm_ids"),
     )
 
 

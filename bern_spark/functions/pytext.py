@@ -41,34 +41,76 @@ def conll_tokens(text: str) -> list[str]:
     return [m.group(0) for m in _TOKEN_RE.finditer(text)]
 
 
-def sentence_spans(text: str) -> list[tuple[int, int]]:
+# Raw-token classes for W1 force-chunking (reference ops.py:5): alnum
+# runs OR any single other char INCLUDING whitespace — raw tokens tile
+# the string exactly, so chunk boundaries are exact char offsets.
+_RAW_TOKEN_RE = re.compile(r"[0-9a-zA-Z]+|[^0-9a-zA-Z]")
+
+
+def _force_chunk_spans(text: str, s: int, e: int) -> list[tuple[int, int]]:
+    """W1 force-chunking of one over-long sentence span (reference
+    sentence_split ops.py:119-143): while the remainder exceeds 100 CoNLL
+    tokens, cut a chunk of 200 raw tokens; a whitespace-only final
+    remainder is dropped (reference: ``if sent.strip() == '': break``),
+    so chunked spans may not cover trailing whitespace — same observable
+    sentences as the reference."""
+    out: list[tuple[int, int]] = []
+    while True:
+        raws = list(_RAW_TOKEN_RE.finditer(text, s, e))
+        if len(raws) <= 200:
+            if text[s:e].strip():
+                out.append((s, e))
+            return out
+        cut = raws[199].end()
+        out.append((s, cut))
+        s = cut
+        if len(_TOKEN_RE.findall(text, s, e)) < 100:
+            if text[s:e].strip():
+                out.append((s, e))
+            return out
+
+
+def sentence_spans(text: str, force_chunk: bool = False) -> list[tuple[int, int]]:
     """Sentence boundaries, exclusive-end spans over ``text``.
 
     Same split rule as the reference (sentence_split ops.py:98-166): break
     after ``?``/``!`` always; after ``.`` only when followed by a space and
     an uppercase letter / quote / dash; no break within the final 2 chars.
-    The reference's >100-token force-chunking is handled downstream by the
-    extractor's windowing, not here, so spans always tile the text exactly.
+
+    ``force_chunk=False`` (default): spans always tile the text exactly
+    (the extractor's 30-token windowing bounds downstream work instead).
+    ``force_chunk=True``: reproduces the reference's W1 rule — any
+    sentence longer than 100 CoNLL tokens is split into 200-raw-token
+    chunks (ops.py:119-143); a whitespace-only tail is dropped, so spans
+    may then not tile trailing whitespace, exactly as the reference's
+    string outputs don't.
     """
     spans: list[tuple[int, int]] = []
     piv = 0
     n = len(text)
+
+    def emit(a: int, b: int) -> None:
+        if force_chunk and len(_TOKEN_RE.findall(text, a, b)) > 100:
+            spans.extend(_force_chunk_spans(text, a, b))
+        else:
+            spans.append((a, b))
+
     for idx, ch in enumerate(text):
         if ch in _SENT_END_ALWAYS:
             if idx > n - 3:
-                spans.append((piv, n))
+                emit(piv, n)
                 return spans
-            spans.append((piv, idx + 1))
+            emit(piv, idx + 1)
             piv = idx + 1
         elif ch == ".":
             if idx > n - 3:
-                spans.append((piv, n))
+                emit(piv, n)
                 return spans
             if text[idx + 1] == " " and text[idx + 2] in _SENT_DOT_FOLLOW:
-                spans.append((piv, idx + 1))
+                emit(piv, idx + 1)
                 piv = idx + 1
     if piv < n or not spans:
-        spans.append((piv, n))
+        emit(piv, n)
     return spans
 
 
@@ -155,6 +197,50 @@ def token_jaccard(a: str, b: str) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def wordpiece_tokenize(
+    token: str,
+    vocab: frozenset[str] | set[str] | dict,
+    unk_token: str = "[UNK]",
+    max_input_chars_per_word: int = 200,
+) -> list[str]:
+    """W5: greedy longest-match-first WordPiece split of ONE token
+    (reference WordpieceTokenizer.tokenize, tokenization.py:304-360):
+    repeatedly take the longest vocab prefix, '##'-prefixing every
+    non-initial piece; any unmatched position makes the whole token
+    ``unk_token``, as does a token over ``max_input_chars_per_word``."""
+    if len(token) > max_input_chars_per_word:
+        return [unk_token]
+    pieces: list[str] = []
+    start = 0
+    n = len(token)
+    while start < n:
+        end = n
+        cur = None
+        while start < end:
+            sub = token[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [unk_token]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+def wordpiece_tokens(text: str, vocab, unk_token: str = "[UNK]") -> list[str]:
+    """WordPiece over whitespace-separated tokens of ``text`` (the
+    reference feeds BasicTokenizer output, i.e. whitespace tokens,
+    tokenization.py:311-329)."""
+    out: list[str] = []
+    for tok in (text or "").split():
+        out.extend(wordpiece_tokenize(tok, vocab, unk_token))
+    return out
 
 
 def char_shingles(text: str, k: int = 3) -> set[str]:

@@ -10,11 +10,12 @@ through a ``LineageStore``:
   rows and order-insensitive content checksums; a completed manifest makes
   re-runs read-through (idempotent restarts).
 - ``run_bucketed_stage``: hash-bucketed incremental execution — input rows
-  are assigned to ``n_buckets`` by a deterministic key; completed buckets
-  are recorded as they land and a restart anti-joins them away, processing
-  only the remainder. This is the per-partition resume unit: at 10^12-turn
-  scale a stage is thousands of buckets and a preemption costs one bucket,
-  not the stage.
+  are assigned to ``n_buckets`` by a deterministic key; a restart
+  anti-joins completed buckets away and processes the whole remainder as
+  ONE bucket-partitioned Spark job (dynamic partition overwrite keeps
+  finished buckets intact). This is the per-partition resume unit: at
+  10^12-turn scale a stage is thousands of buckets and a preemption costs
+  the remainder job, never completed buckets.
 
 All metadata is plain JSON on the filesystem the output lives on (on a
 real cluster: the object store next to the Iceberg tables).
@@ -109,9 +110,19 @@ class LineageStore:
         n_buckets: int = 16,
     ) -> DataFrame:
         """Process ``input_df`` in deterministic hash buckets; resume skips
-        completed buckets. ``transform_fn(df)`` must be per-row/per-group
-        within a bucket (no cross-bucket joins) and preserve the
-        ``_bucket`` column it receives."""
+        completed buckets. ``transform_fn(df)`` must be keyed within
+        ``bucket_cols`` groups (no cross-bucket joins — any group keyed by
+        ``bucket_cols`` lands in exactly one bucket by construction) and
+        preserve the ``_bucket`` column it receives.
+
+        All REMAINING buckets run as ONE Spark job with
+        ``partitionBy(_bucket)`` dynamic-overwrite output: completed
+        buckets' directories are untouched (dynamic mode only replaces
+        partitions present in the written data), and throughput is the
+        cluster's, not one-bucket-at-a-time. The bucket remains the
+        resume unit — a restart anti-joins ``done_buckets`` away; a crash
+        mid-job redoes only the remainder job (in-job task failures are
+        Spark's own retry domain)."""
         man = self.read_manifest(stage) or {
             "status": "in_progress",
             "stage": stage,
@@ -126,18 +137,19 @@ class LineageStore:
             "_bucket", F.pmod(F.hash(*bucket_cols), F.lit(n_buckets))
         )
         path = self._dpath(stage)
-        for b in range(n_buckets):
-            if b in done:
-                continue
-            part = transform_fn(bucketed.where(F.col("_bucket") == b))
-            (
-                part.write.mode("overwrite").parquet(os.path.join(path, f"bucket={b}"))
-            )
-            done.add(b)
-            man["done_buckets"] = sorted(done)
-            man["ts"] = time.time()
-            self._write_manifest(stage, man)
+        remaining = bucketed
+        if done:
+            remaining = bucketed.where(~F.col("_bucket").isin(*sorted(done)))
+        part = transform_fn(remaining)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            part.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        man["done_buckets"] = sorted(set(range(n_buckets)))
         man["status"] = "complete"
+        man["ts"] = time.time()
         parts = self._partition_metrics(spark, path)
         man["rows"] = sum(p["rows"] for p in parts)
         man["partitions"] = parts

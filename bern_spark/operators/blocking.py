@@ -114,8 +114,13 @@ def candidate_pairs(
     etype) — column names match the scoring stage's contract.
 
     Salting: blocks larger than ``max_block_size`` split into shards by a
-    deterministic surface hash; pairs form within shards only, bounding
-    per-block work at cap^2.
+    deterministic surface hash, bounding per-block pair work at cap^2 per
+    shard. Cross-shard recall is NOT silently dropped: each shard's
+    lexicographic-min surface additionally pairs with the block's overall
+    min (one bridge pair per shard), so a true match split across shards
+    is recoverable by transitive clustering through the representative —
+    it still has to *score* as a match like any pair, so no false merges
+    are introduced. ``salting_stats`` reports which blocks sharded.
     """
     keyed = surfaces.select(
         "surface", "etype", F.col("block_key").alias("bkey")
@@ -133,20 +138,36 @@ def candidate_pairs(
         F.broadcast(sizes.where(F.col("bsize") > max_block_size)), "bkey", "left"
     )
     n_shards = F.ceil(F.col("bsize") / max_block_size)
-    keyed = (
-        keyed.withColumn(
-            "shard",
-            F.when(F.col("bsize").isNull(), F.lit(0)).otherwise(
-                F.pmod(F.hash("surface"), n_shards)
-            ),
+    keyed = keyed.withColumn(
+        "shard",
+        F.when(F.col("bsize").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.hash("surface"), n_shards)
+        ),
+    )
+    # bridge pairs for sharded blocks: shard-min <-> block-min (every key
+    # family prefixes etype into bkey, so a block is single-etype)
+    sharded = keyed.where(F.col("bsize").isNotNull())
+    shard_reps = sharded.groupBy("bkey", "etype", "shard").agg(
+        F.min("surface").alias("rep")
+    )
+    block_reps = shard_reps.groupBy("bkey", "etype").agg(F.min("rep").alias("brep"))
+    bridges = (
+        shard_reps.join(block_reps, ["bkey", "etype"])
+        .where(F.col("rep") != F.col("brep"))
+        .select(
+            F.concat_ws("#", "bkey", F.lit("rep")).alias("block_key"),
+            F.least("rep", "brep").alias("mention_a"),
+            F.greatest("rep", "brep").alias("mention_b"),
+            "etype",
         )
-        .withColumn("bkey", F.concat_ws("#", "bkey", F.col("shard").cast("string")))
-        .drop("bsize", "shard")
     )
 
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    return (
+    skeyed = keyed.withColumn(
+        "bkey", F.concat_ws("#", "bkey", F.col("shard").cast("string"))
+    ).drop("bsize", "shard")
+    a = skeyed.alias("a")
+    b = skeyed.alias("b")
+    within = (
         a.join(b, on="bkey")
         .where(F.col("a.etype") == F.col("b.etype"))
         .where(F.col("a.surface") < F.col("b.surface"))
@@ -156,5 +177,29 @@ def candidate_pairs(
             F.col("b.surface").alias("mention_b"),
             F.col("a.etype").alias("etype"),
         )
-        .dropDuplicates(["mention_a", "mention_b", "etype"])
+    )
+    return within.unionByName(bridges).dropDuplicates(["mention_a", "mention_b", "etype"])
+
+
+def salting_stats(surfaces: DataFrame, max_block_size: int = 200, use_lsh: bool = True) -> DataFrame:
+    """Observability for the hot-block defense: one row per block that
+    got sharded — (bkey, bsize, n_shards). Pair volume capped at
+    bsize*cap per block instead of bsize^2; the bridge pairs above keep
+    cross-shard matches reachable, but a spike here means the block keys
+    are too coarse and deserves a look."""
+    keyed = surfaces.select(
+        "surface", "etype", F.col("block_key").alias("bkey")
+    ).unionByName(
+        surfaces.select("surface", "etype", F.col("block_key_full").alias("bkey"))
+    )
+    if use_lsh:
+        keyed = keyed.unionByName(
+            surfaces.select("surface", "etype", F.explode("bands").alias("bkey"))
+        )
+    keyed = keyed.dropDuplicates(["surface", "etype", "bkey"])
+    return (
+        keyed.groupBy("bkey")
+        .agg(F.count("*").alias("bsize"))
+        .where(F.col("bsize") > max_block_size)
+        .withColumn("n_shards", F.ceil(F.col("bsize") / max_block_size))
     )

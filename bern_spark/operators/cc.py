@@ -21,6 +21,8 @@ and deterministic — cluster id = min member id.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,28 +41,35 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (large=True) or small-star round.
 
     Input/output: canonical undirected edge list (src < dst).
+
+    Fully relational — no ``collect_set``: materializing a node's whole
+    neighborhood as one array puts a high-degree node (a popular oid
+    anchor linked to millions of surfaces) into a single task's memory.
+    Instead the per-node minimum is a plain min() aggregate (partial
+    map-side combine, no wide rows) joined back to the neighbor relation;
+    AQE's skew-join splitting can then shard even a 10^8-degree node's
+    neighbor rows across tasks.
     """
     # neighborhood view: for each node u, its neighbors (both directions)
     nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
-    grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
-    m = grouped.withColumn("m", F.least(F.col("u"), F.array_min("vs")))
+    # m(u) = min over {u} ∪ neighbors(u); min() aggregates scale to any
+    # degree because partial aggregation collapses per-partition first
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("_mv"))
+    m = mins.select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+    j = nbrs.join(m, "u")
     if large:
         # connect neighbors > u to m(u)
-        out = m.select(
-            F.explode(F.filter("vs", lambda v: v > F.col("u"))).alias("a"),
-            F.col("m").alias("b"),
+        out = j.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
         )
     else:
         # connect neighbors <= u (and u itself) to m(u)
-        out = m.select(
-            F.explode(
-                F.array_union(F.filter("vs", lambda v: v <= F.col("u")), F.array(F.col("u")))
-            ).alias("a"),
-            F.col("m").alias("b"),
-        )
-    return _canonical_undirected(out.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        out = j.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        ).unionAll(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+    return _canonical_undirected(out)
 
 
 def connected_components(
@@ -95,16 +104,31 @@ def connected_components(
         return (r["n"], r["h"])
 
     sig = _sig(e)
+    converged = False
     for i in range(max_iter):
-        e2 = _star_round(e, large=True)
-        e2 = _star_round(e2, large=False)
+        # the relational star round reads its input twice (min-aggregate
+        # branch + join branch), so cache the large-star intermediate or
+        # the small round would recompute it along both branches
+        mid = _star_round(e, large=True).persist()
+        e2 = _star_round(mid, large=False)
         if checkpoint_every and i % checkpoint_every == 0:
             e2 = e2.persist().localCheckpoint(eager=True)
         sig2 = _sig(e2)
+        mid.unpersist()
         e = e2
         if sig2 == sig:
+            converged = True
             break
         sig = sig2
+    if not converged:
+        # returning silently would yield partially merged clusters
+        warnings.warn(
+            f"connected_components exhausted max_iter={max_iter} before the "
+            "edge-set signature converged; labels may be partially merged "
+            "(raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # after convergence every edge is (root, member); root = min of component
     labels = e.select(F.col("dst").alias("node"), F.col("src").alias("cluster_id"))

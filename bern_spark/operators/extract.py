@@ -58,6 +58,23 @@ def tokens_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield batch.map(lambda t: tokenize_with_offsets(t) if t else [])
 
 
+def make_wordpiece_udf(vocab: frozenset[str], unk_token: str = "[UNK]"):
+    """W5: Arrow-batched WordPiece tokenization over whitespace tokens
+    (reference tokenization.py:304-360 via pytext.wordpiece_tokens).
+    WordPiece vocabularies are model-sized (~30k pieces), so the set ships
+    in the closure like the anchor set. The natural pre-stage for any
+    learned-embedding scorer this pipeline plugs in."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def wp_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from bern_spark.functions.pytext import wordpiece_tokens
+
+        for batch in texts:
+            yield batch.map(lambda t: wordpiece_tokens(t or "", vocab, unk_token))
+
+    return wp_udf
+
+
 def with_canonical_text(transcripts: DataFrame) -> DataFrame:
     """Apply the P1-P4 canonical preprocessing chain; the resulting ``text``
     is the invariant text all spans refer to."""
@@ -75,20 +92,22 @@ _CAND_TYPE = T.ArrayType(
 )
 
 
-def make_anchored_candidates_udf(first_tokens: frozenset[str], max_ngram: int):
+def make_anchored_candidates_udf(first_tokens, max_ngram: int):
     """Anchor-gated candidate generation: one Arrow pass that tokenizes
     AND emits n-gram spans only at positions whose token is the first
     token of some lexicon surface.
 
-    The anchor set is vocabulary-sized and ships in the UDF closure — the
-    Python-side mirror of the broadcast lexicon (the reference loads its
-    dictionaries into every normalizer process the same way,
-    chemical_normalizer.py:30-40). Cuts candidate volume from
-    O(tokens x max_ngram) to O(anchor hits x max_ngram): on the synthetic
-    corpus that is ~30x fewer rows through the lexicon join, and the
-    explode stops being the pipeline's memory-bandwidth ceiling. For a
-    10^8-surface lexicon swap the exact set for a Bloom filter over first
-    tokens — same shape, bounded memory.
+    ``first_tokens`` is anything supporting ``in``: a frozenset for
+    vocabulary-sized lexicons, or a ``bern_spark.functions.bloom.
+    BloomFilter`` for huge ones (see ``anchor_set_for``). Either way it
+    ships in the UDF closure — the Python-side mirror of the broadcast
+    lexicon (the reference loads its dictionaries into every normalizer
+    process the same way, chemical_normalizer.py:30-40). Cuts candidate
+    volume from O(tokens x max_ngram) to O(anchor hits x max_ngram): on
+    the synthetic corpus that is ~30x fewer rows through the lexicon
+    join, and the explode stops being the pipeline's memory-bandwidth
+    ceiling. Bloom false positives only admit extra candidates, which
+    the lexicon inner join discards — recall is unaffected.
     """
 
     @F.pandas_udf(_CAND_TYPE)
@@ -167,6 +186,35 @@ def candidate_spans(turns: DataFrame, max_ngram: int = MAX_NGRAM) -> DataFrame:
     return df
 
 
+_TOK_RE_SQL = r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]"
+
+# Above this many distinct first tokens, the anchor set switches from an
+# exact driver-side frozenset to an executor-built Bloom filter: the
+# frozenset for 10^6 surfaces pickles to ~10^8 bytes of closure shipped
+# with every task, while the Bloom is ~1.2 MB at 1% fp.
+ANCHOR_EXACT_LIMIT = 100_000
+
+
+def anchor_set_for(lexicon: DataFrame, exact_limit: int = ANCHOR_EXACT_LIMIT):
+    """Membership structure over the lexicon surfaces' first CoNLL tokens.
+
+    Small vocabularies: exact frozenset via a bounded driver collect
+    (``limit(exact_limit + 1)`` caps driver memory regardless of lexicon
+    size). Beyond the limit: a Bloom filter built executor-side
+    (functions/bloom.py) — O(bits) on the driver, never the tokens.
+    """
+    ft = lexicon.select(
+        F.regexp_extract("surface", _TOK_RE_SQL, 0).alias("ft")
+    ).distinct()
+    head = ft.limit(exact_limit + 1).collect()
+    if len(head) <= exact_limit:
+        return frozenset(r["ft"] for r in head)
+    from bern_spark.functions.bloom import bloom_from_rdd
+
+    n = ft.count()
+    return bloom_from_rdd(ft.rdd.map(lambda r: r[0]), n_items=n, fp_rate=0.01)
+
+
 def lexicon_max_ngram(lexicon: DataFrame, cap: int = MAX_NGRAM) -> int:
     """Longest lexicon surface in CoNLL tokens — the candidate window the
     extractor must generate. One tiny JVM-side aggregate (regexp token
@@ -205,17 +253,10 @@ def extract_mentions(
             transcripts = transcripts.repartition(target)
     turns = with_canonical_text(transcripts)
 
-    # anchor set: first CoNLL token of every lexicon surface (tiny driver
-    # collect; Bloom filter at 10^8-surface scale)
-    _tok_re = r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]"
-    first_toks = frozenset(
-        r["ft"]
-        for r in lexicon.select(
-            F.regexp_extract("surface", _tok_re, 0).alias("ft")
-        )
-        .distinct()
-        .collect()
-    )
+    # anchor set: first CoNLL token of every lexicon surface — exact set
+    # when vocab-sized, executor-built Bloom filter beyond (bounded driver
+    # memory + bounded task-closure size at 10^8-surface scale)
+    first_toks = anchor_set_for(lexicon)
     cands_udf = make_anchored_candidates_udf(first_toks, max_ngram)
     cands = turns.select(
         "conv_id", "turn_idx", F.explode(cands_udf(F.col("text"))).alias("_s")

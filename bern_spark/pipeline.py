@@ -35,6 +35,12 @@ class ERConfig:
     max_block_size: int = 200
     use_lsh: bool = True
     max_cc_iter: int = 25
+    # Blend embedding-cosine into the pairwise score (north-star scorer
+    # set: JW / Levenshtein / embedding-cosine). Default embeddings are
+    # the hashed-trigram vectors (scoring.hashed_surface_embeddings);
+    # computed once per distinct surface, so vocabulary-bounded.
+    use_embedding_cosine: bool = False
+    embedding_cosine_weight: float = 0.3
     # Cut lineage (localCheckpoint) after each major stage. Keeps Catalyst
     # analysis cost O(stage) instead of O(pipeline) — without this, every
     # action re-analyzes the full compound plan and driver time dominates.
@@ -133,7 +139,19 @@ def resolve_entities(
     surfaces = surf_oid.select("etype", F.col("mention").alias("surface"))
     blocked = with_block_keys(surfaces)
     pairs = candidate_pairs(blocked, max_block_size=cfg.max_block_size, use_lsh=cfg.use_lsh)
-    scored = cut(score_pairs(pairs, threshold=cfg.score_threshold))
+    emb = None
+    if cfg.use_embedding_cosine:
+        from bern_spark.operators.scoring import hashed_surface_embeddings
+
+        emb = hashed_surface_embeddings(surfaces)
+    scored = cut(
+        score_pairs(
+            pairs,
+            threshold=cfg.score_threshold,
+            embeddings=emb,
+            cosine_weight=cfg.embedding_cosine_weight,
+        )
+    )
     sim_edges = scored.select(
         snode(F.col("mention_a")).alias("src"),
         snode(F.col("mention_b")).alias("dst"),

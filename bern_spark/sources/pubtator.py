@@ -115,7 +115,12 @@ def to_pub_annotation(annotations: DataFrame, project: str = "bern_spark") -> Da
     deno = F.transform(
         F.col("denotations"),
         lambda d: F.struct(
-            F.concat_ws("|", F.col("conv_id"), F.col("turn_idx"), d["start"]).alias("id"),
+            # etype is part of the id: W9 score ties deliberately keep
+            # both etype rows at one span, which must not collide to one
+            # denotation id (mirrors the etype-scoped clustering node)
+            F.concat_ws(
+                "|", F.col("conv_id"), F.col("turn_idx"), d["start"], d["etype"]
+            ).alias("id"),
             F.struct(d["start"].alias("begin"), d["end"].alias("end")).alias("span"),
             d["etype"].alias("obj"),
             d["norm_ids"].alias("ids"),

@@ -26,22 +26,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bern_spark.datagen import SPECIES_STOPLIST
-from bern_spark.operators.extract import candidate_spans, with_canonical_text
+from bern_spark.operators.extract import (
+    anchor_set_for,
+    lexicon_max_ngram,
+    make_anchored_candidates_udf,
+    with_canonical_text,
+)
 
 
 def streaming_candidate_mentions(
     transcripts_stream: DataFrame,
     lexicon: DataFrame,
     watermark: str = "1 hour",
-    max_ngram: int = 4,
+    max_ngram: int | None = None,
     apply_species_filter: bool = True,
 ) -> DataFrame:
     """Stateless streaming mention matching; carries ``ts`` through for
-    event-time windowing downstream."""
+    event-time windowing downstream.
+
+    Uses the SAME anchor-gated candidate generator as the batch path
+    (extract.py): the anchored Arrow UDF is row-local, hence stream-legal,
+    and avoids the O(tokens x max_ngram) unanchored explode the batch
+    path measured as its memory-bandwidth ceiling. The lexicon is a
+    static (bounded) DataFrame, so deriving ``max_ngram`` and the anchor
+    set from it before the stream starts is legal — and necessary:
+    a fixed default of 4 would silently drop >=5-token surfaces
+    (mutations like 'c.1847G>T' are 5 CoNLL tokens).
+    """
+    if max_ngram is None:
+        max_ngram = lexicon_max_ngram(lexicon)
+    cands_udf = make_anchored_candidates_udf(anchor_set_for(lexicon), max_ngram)
     s = with_canonical_text(transcripts_stream.withWatermark("ts", watermark))
-    # candidate_spans passes non-text columns through, so ts survives —
-    # no stream-stream self-join needed to recover event time
-    cands = candidate_spans(s.select("conv_id", "turn_idx", "ts", "text"), max_ngram)
+    # the UDF runs on text only; ts/ids pass through the select, so no
+    # stream-stream self-join is needed to recover event time
+    cands = s.select(
+        "conv_id", "turn_idx", "ts", F.explode(cands_udf(F.col("text"))).alias("_s")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.col("_s.start").alias("start"),
+        F.col("_s.end").alias("end"),
+        F.col("_s.surface").alias("surface"),
+    )
     m = cands.join(
         F.broadcast(lexicon.withColumnRenamed("weight", "score")),
         cands["surface"] == lexicon["surface"],
