@@ -55,7 +55,12 @@ def run_headline(sf_dir: str) -> dict[str, float]:
     return times
 
 
-def run_scaling(sf_dir: str, cores=(4, 16), n_convs: int | None = None) -> dict:
+_CORPUS_ALIASES = {60_000: "60k", 600_000: "600k", 6_000_000: "6m"}
+
+
+def run_scaling(
+    sf_dir: str, cores=(4, 16), n_convs: int | None = None, use_lineage: bool = True
+) -> dict:
     """North-rule N vs 4N evidence: the SAME full-pipeline job on the SAME
     input at two parallelism levels -> turns/sec both + efficiency.
 
@@ -63,20 +68,29 @@ def run_scaling(sf_dir: str, cores=(4, 16), n_convs: int | None = None) -> dict:
     (datagen_spark), generated once and cached as parquet: scaling
     efficiency is a property of compute-dominant workloads, so the corpus
     must be large enough that per-stage fixed costs stop dominating
-    (default 600k convs ~ 3M turns; override SPARK_GRAFT_SCALE_CONVS).
+    (default 6M convs ~ 30M turns; override SPARK_GRAFT_SCALE_CONVS).
     Cores default to (4, 16): Arrow-UDF stages run one Python worker per
     task beside the JVM threads, so N must satisfy 2*4N <= physical cores
     or oversubscription degrades the 4N run.
+
+    ``use_lineage``: run with the LineageStore as the stage medium (a
+    FRESH store per config — no cross-config resume) — the cluster-mode
+    code path where stage tables are parquet on storage, not
+    localCheckpoint blocks in one JVM's block manager. The 30M-turn
+    round-1 run measured ~2x per-turn degradation from exactly that
+    block-manager pressure.
     """
     import glob
+    import shutil
 
     import pyarrow.parquet as pq
     from pyspark.sql import SparkSession
 
     from bern_spark.session import get_spark
 
-    n_convs = n_convs or int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "600000"))
-    corpus = f"/root/repo/.scratch/scale_corpus_{n_convs}"
+    n_convs = n_convs or int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "6000000"))
+    alias = _CORPUS_ALIASES.get(n_convs, str(n_convs))
+    corpus = f"/root/repo/.scratch/scale_corpus_{alias}"
     if not glob.glob(f"{corpus}/_SUCCESS"):
         spark = get_spark("bench_scale_gen", master="local[32]")
         spark.sparkContext.setLogLevel("ERROR")
@@ -103,8 +117,15 @@ def run_scaling(sf_dir: str, cores=(4, 16), n_convs: int | None = None) -> dict:
 
         tr = spark.read.parquet(corpus)
         _, lex, dicts = scale_corpus(spark, 0, per_type=100)
+        store = None
+        if use_lineage:
+            from bern_spark.lineage import LineageStore
+
+            ldir = f"/root/repo/.scratch/scale_lineage_{alias}_c{c}"
+            shutil.rmtree(ldir, ignore_errors=True)  # fresh: no resume
+            store = LineageStore(ldir)
         t0 = time.time()
-        res = resolve_entities(tr, lex, dicts, config=ERConfig())
+        res = resolve_entities(tr, lex, dicts, config=ERConfig(), lineage_store=store)
         _force(res["mentions"])
         dt = time.time() - t0
         out[f"local[{c}]"] = {
@@ -112,6 +133,8 @@ def run_scaling(sf_dir: str, cores=(4, 16), n_convs: int | None = None) -> dict:
             "turns_per_sec": round(n_rows / dt, 2),
         }
         spark.stop()
+        if use_lineage:
+            shutil.rmtree(ldir, ignore_errors=True)
     lo, hi = f"local[{cores[0]}]", f"local[{cores[1]}]"
     speedup = out[lo]["sec"] / out[hi]["sec"]
     ideal = cores[1] / cores[0]

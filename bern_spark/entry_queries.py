@@ -366,6 +366,101 @@ SELECT doc_id, md5(h0 || '#' || h1) AS band0, md5(h2 || '#' || h3) AS band1 FROM
 """
 
 
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED banded near-dup pairs — the scale path end-to-end:
+    candidate pairs come from equi-joins within (band, bucket) — never a
+    cross join, never a doc_id bound — and exact token-Jaccard is then
+    verified on the candidates only. At 100 TB the candidate relation is
+    O(collisions), not O(n^2); this is the same band->bucket->verify
+    shape the in-pipeline LSH blocking uses (operators/blocking.py)."""
+    t = _toks(spark, sf_dir).select("doc_id", "tok").dropDuplicates()
+    sigs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(str(s)), F.lit("|"), F.col("tok")), "utf-8"))
+        ).alias(f"h{s}")
+        for s in range(4)
+    ]
+    g = t.groupBy("doc_id").agg(*sigs)
+    bands = g.select(
+        "doc_id",
+        F.md5(F.encode(F.concat_ws("#", "h0", "h1"), "utf-8")).alias("bkey"),
+        F.lit(0).alias("band"),
+    ).unionAll(
+        g.select(
+            "doc_id",
+            F.md5(F.encode(F.concat_ws("#", "h2", "h3"), "utf-8")).alias("bkey"),
+            F.lit(1).alias("band"),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["bkey", "band"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    x = t.select(F.col("doc_id").alias("doc_a"), "tok")
+    y = t.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(x, "doc_a").join(y, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sizes = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("i", F.coalesce("inter", F.lit(0)))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+SQL_DEDUP_MINHASH_PAIRS = f"""
+WITH {_TOKS_SQL.strip()},
+dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+g AS (
+  SELECT doc_id,
+         MIN(md5('0' || '|' || tok)) AS h0, MIN(md5('1' || '|' || tok)) AS h1,
+         MIN(md5('2' || '|' || tok)) AS h2, MIN(md5('3' || '|' || tok)) AS h3
+  FROM dt GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, md5(h0 || '#' || h1) AS bkey, 0 AS band FROM g
+  UNION ALL
+  SELECT doc_id, md5(h2 || '#' || h3) AS bkey, 1 AS band FROM g
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.band = b.band
+       AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN dt x ON x.doc_id = c.doc_a
+  JOIN dt y ON y.doc_id = c.doc_b AND y.tok = x.tok
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY 1)
+SELECT c.doc_a, c.doc_b,
+       ROUND(COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE ROUND(COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)), 4) >= 0.5
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit SimHash from md5 hex digits of distinct tokens (portable bit
     source): bit b set when the majority of tokens have hex digit b >= 8."""
@@ -877,6 +972,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -904,6 +1000,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_minhash_pairs": SQL_DEDUP_MINHASH_PAIRS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_stats": SQL_TEXT_STATS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -15,8 +15,9 @@ Key families (SURVEY §7 step 4):
 - **full-surface key**: tmChem key of the whole surface — the J1
   key-equivalence class (catches punctuation/space variants exactly);
 - **MinHash-LSH bands** over character 3-shingles with seeded
-  permutations (deterministic, md5-keyed — no PYTHONHASHSEED exposure),
-  catching typo variants whose token keys differ.
+  permutations (deterministic: JVM xxhash64 with per-permutation seeds —
+  no PYTHONHASHSEED exposure, no Python at all), catching typo variants
+  whose token keys differ.
 
 Hot-block defense for *distinct-surface* blocks that are still large:
 block sizes are profiled relationally and oversized blocks are salted
@@ -25,45 +26,44 @@ into shards; AQE skew-join splitting backs this up at runtime.
 
 from __future__ import annotations
 
-import hashlib
-import struct
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from bern_spark.functions.keys import tmchem_key
-from bern_spark.functions.pytext import char_shingles
 
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # 4 rows per band
 
 
-def _minhash_sig(s: str) -> list[int]:
-    sh = char_shingles(s)
-    if not sh:
-        return [0] * N_PERM
-    sig = []
-    for p in range(N_PERM):
-        mn = None
-        salt = str(p).encode()
-        for g in sh:
-            h = struct.unpack("<Q", hashlib.md5(salt + g.encode()).digest()[:8])[0]
-            if mn is None or h < mn:
-                mn = h
-        sig.append(mn)
-    return sig
+def _shingle_array(surface) -> F.Column:
+    """Character 3-shingles of the lowercased, space-collapsed surface as
+    a row-local Catalyst array (mirror of pytext.char_shingles; duplicates
+    are harmless under min)."""
+    norm = F.trim(F.regexp_replace(F.lower(surface), r"\s+", " "))
+    return F.when(
+        F.length(norm) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 2),
+            lambda i: norm.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array(norm))
 
 
-_SIG_TYPE = T.ArrayType(T.LongType())
-
-
-@F.pandas_udf(_SIG_TYPE)
-def minhash_udf(col: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for batch in col:
-        yield batch.map(lambda s: [v - (1 << 63) for v in _minhash_sig(s or "")])
+def minhash_signature(surface) -> F.Column:
+    """N_PERM seeded-permutation minima, entirely inside whole-stage
+    codegen: per permutation p, min over shingles of xxhash64(p || g).
+    Replaces a per-row Python md5 loop (16 digests x shingles per
+    surface) with JVM hashing — same statistical contract (independent
+    uniform permutations), zero Python worker involvement."""
+    sh = _shingle_array(surface)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda g, p=p: F.xxhash64(F.concat(F.lit(str(p)), g)))
+            )
+            for p in range(N_PERM)
+        ]
+    )
 
 
 def token_block_key(col) -> F.Column:
@@ -79,8 +79,9 @@ def surface_nodes(mentions: DataFrame) -> DataFrame:
 def with_block_keys(surfaces: DataFrame) -> DataFrame:
     """Add ``block_key`` (first-token key), ``block_key_full``
     (whole-surface tmChem key), and ``bands`` (LSH band buckets) to a
-    distinct-surface relation. The minhash UDF runs once per DISTINCT
-    surface — vocabulary-bounded, not corpus-bounded."""
+    distinct-surface relation. Minhash runs once per DISTINCT surface —
+    vocabulary-bounded, not corpus-bounded — and is pure Catalyst
+    (no Python worker in the blocking path at all)."""
     m = surfaces.withColumn(
         "block_key",
         F.concat_ws(":", F.col("etype"), token_block_key(F.col("surface"))),
@@ -88,7 +89,7 @@ def with_block_keys(surfaces: DataFrame) -> DataFrame:
         "block_key_full",
         F.concat_ws(":", F.col("etype"), F.lit("fk"), tmchem_key(F.col("surface"))),
     )
-    m = m.withColumn("_sig", minhash_udf(F.col("surface")))
+    m = m.withColumn("_sig", minhash_signature(F.col("surface")))
     rows_per_band = N_PERM // N_BANDS
     bands = F.array(
         *[

@@ -420,3 +420,17 @@ def test_salted_block_bridges_and_stats(spark):
     assert k == 1
     pairs.unpersist()
     blocked.unpersist()
+
+
+def test_block_keys_plan_is_jvm_only(spark):
+    # relational minhash: no Python eval node anywhere in the blocking plan
+    from bern_spark.operators.blocking import with_block_keys
+
+    surfaces = spark.createDataFrame(
+        [("drug", "aspirin"), ("drug", "asprin")], ["etype", "surface"]
+    )
+    plan = with_block_keys(surfaces)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # near-identical surfaces still share at least one band bucket
+    rows = with_block_keys(surfaces).collect()
+    assert len(rows[0].bands) == 4

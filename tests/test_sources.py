@@ -145,3 +145,86 @@ def test_pathway_tagger(spark):
     m = tag_regex_mentions(turns, "pathway", make_pathway_udf(["MAPK", "notch"]))
     got = {r.mention for r in m.collect()}
     assert got == {"MAPK pathway"}
+
+
+_BIOC = """<?xml version="1.0" encoding="UTF-8"?>
+<collection>
+  <source>PubTator</source>
+  <document>
+    <id>123</id>
+    <passage>
+      <infon key="type">title</infon>
+      <offset>0</offset>
+      <text>A title with c.1847G&gt;T here.</text>
+      <annotation id="0">
+        <infon key="identifier">tmVar:c|SUB|G|1847|T</infon>
+        <infon key="type">DNAMutation</infon>
+        <location offset="13" length="9"/>
+        <text>c.1847G&gt;T</text>
+      </annotation>
+      <annotation id="1">
+        <infon key="identifier">MESH:D000001</infon>
+        <infon key="type">Chemical</infon>
+        <location offset="2" length="5"/>
+        <text>title</text>
+      </annotation>
+    </passage>
+    <passage>
+      <infon key="type">abstract</infon>
+      <offset>30</offset>
+      <text>Abstract text with p.V600E variant.</text>
+      <annotation id="2">
+        <infon key="identifier">tmVar:p|SUB|V|600|E</infon>
+        <infon key="type">ProteinMutation</infon>
+        <location offset="49" length="7"/>
+        <text>p.V600E</text>
+      </annotation>
+    </passage>
+  </document>
+  <document>
+    <id>456</id>
+    <passage>
+      <infon key="type">title</infon>
+      <offset>0</offset>
+      <text>No mutations here.</text>
+    </passage>
+  </document>
+</collection>
+"""
+
+
+def test_bioc_xml_scan(spark, tmp_path):
+    from bern_spark.sources.bioc import parse_bioc_collection, read_bioc_xml
+    from bern_spark.sources.pubtator import pubtator_docs_to_transcripts
+
+    # pure kernel: mutation-type filter, sort by start, P7 drop
+    docs = parse_bioc_collection(_BIOC)
+    assert [d["pmid"] for d in docs] == ["123", "456"]
+    assert docs[0]["mutations"] == [
+        (13, 22, "c.1847G>T", "DNAMutation", "tmVar:c|SUB|G|1847|T"),
+        (49, 56, "p.V600E", "ProteinMutation", "tmVar:p|SUB|V|600|E"),
+    ]
+    assert docs[1]["mutations"] == []
+    # unfiltered keeps the Chemical annotation, still sorted by start
+    all_docs = parse_bioc_collection(_BIOC, filter_mutation_types=False)
+    assert [m[3] for m in all_docs[0]["mutations"]] == [
+        "Chemical", "DNAMutation", "ProteinMutation",
+    ]
+
+    # distributed scan: same schema as read_pubtator, feeds the
+    # transcripts mapper unchanged
+    p = tmp_path / "bioc"
+    p.mkdir()
+    (p / "batch1.xml").write_text(_BIOC)
+    df = read_bioc_xml(spark, str(p))
+    rows = {r.pmid: r for r in df.collect()}
+    assert rows["123"].title == "A title with c.1847G>T here."
+    assert rows["123"].mutations[0].asDict() == {
+        "start": 13, "end": 22, "mention": "c.1847G>T",
+        "mutation_type": "DNAMutation", "normalized_name": "tmVar:c|SUB|G|1847|T",
+    }
+    assert rows["456"].abstract == ""
+    tr = pubtator_docs_to_transcripts(df)
+    got = {r.conv_id: r.text for r in tr.collect()}
+    assert got["123"] == "A title with c.1847G>T here. Abstract text with p.V600E variant."
+    assert got["456"] == "No mutations here."
