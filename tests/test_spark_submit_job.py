@@ -1,0 +1,61 @@
+"""North-rule submission path: the pipeline runs as a spark-submit job
+with --py-files shipping the package, reading/writing only paths."""
+
+import os
+import shutil
+import subprocess
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _zip_package(dst: str) -> str:
+    zpath = os.path.join(dst, "bern_spark.zip")
+    pkg = os.path.join(REPO, "bern_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def test_spark_submit_py_files(spark, dfs, dicts, tmp_path):
+    base = str(tmp_path)
+    dfs["transcripts"].write.parquet(f"{base}/transcripts")
+    dfs["lexicon"].write.parquet(f"{base}/lexicon")
+    for name, df in dicts.items():
+        df.write.parquet(f"{base}/dicts/{name}")
+    dfs["id_merge"].write.parquet(f"{base}/id_merge")
+
+    zpath = _zip_package(base)
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", zpath,
+        os.path.join(REPO, "bern_spark", "jobs", "resolve.py"),
+        "--input", f"{base}/transcripts",
+        "--lexicon", f"{base}/lexicon",
+        "--dicts-dir", f"{base}/dicts",
+        "--id-merge", f"{base}/id_merge",
+        "--output", f"{base}/out",
+        "--lineage-dir", f"{base}/lineage",
+        "--shuffle-partitions", "8",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    mentions = spark.read.parquet(f"{base}/out/mentions")
+    assert mentions.count() > 0
+    assert {"conv_id", "turn_idx", "mention", "cluster_id", "norm_ids"} <= set(
+        mentions.columns
+    )
+    ann = spark.read.parquet(f"{base}/out/annotations")
+    assert ann.count() == dfs["transcripts"].count()
+    # lineage manifests were produced (resumable submission)
+    manifests = [f for f in os.listdir(f"{base}/lineage") if f.endswith(".manifest.json")]
+    assert manifests
