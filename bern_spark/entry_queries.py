@@ -664,6 +664,87 @@ FROM sims QUALIFY rank <= 5
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    seed centroids (vec_id < 8, deterministic), then search each query's
+    top-3 ONLY within its probed cell — per-query work O(n/cells), the
+    inverted-file scale path next to the hyperplane-LSH variant. Centroid
+    assignment is a broadcast join + argmax; rank-only output keeps the
+    oracle compare float-free."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    cent = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda col: F.sqrt(dot(col, col))  # noqa: E731
+
+    def assign(df, vcol):
+        j = df.crossJoin(F.broadcast(cent)).withColumn(
+            "csim", dot(F.col(vcol), F.col("cv")) / (nrm(F.col(vcol)) * nrm(F.col("cv")))
+        )
+        w = Window.partitionBy(*df.columns[:1]).orderBy(F.col("csim").desc(), F.col("cid"))
+        return (
+            j.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+            .select(*df.columns, F.col("cid").alias("cell"))
+        )
+
+    q = assign(
+        e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+        "qv",
+    )
+    c = assign(
+        e.where(F.col("vec_id") >= 10).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")),
+        "nv",
+    )
+    j = q.join(c, "cell").withColumn("sim", dot(F.col("qv"), F.col("nv")) / (nrm(F.col("qv")) * nrm(F.col("nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+SQL_IVF_TOPK = """
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings WHERE vec_id >= 10),
+qa AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT q.query_id, q.qv, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, cent.cv) /
+             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             cent.cid) AS r
+    FROM q CROSS JOIN cent) WHERE r = 1
+),
+ca AS (
+  SELECT neighbor_id, nv, cid AS cell FROM (
+    SELECT c.neighbor_id, c.nv, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
+             list_dot_product(c.nv, cent.cv) /
+             (sqrt(list_dot_product(c.nv, c.nv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             cent.cid) AS r
+    FROM c CROSS JOIN cent) WHERE r = 1
+),
+sims AS (
+  SELECT qa.query_id, ca.neighbor_id,
+         list_dot_product(qa.qv, ca.nv) /
+         (sqrt(list_dot_product(qa.qv, qa.qv)) * sqrt(list_dot_product(ca.nv, ca.nv))) AS sim
+  FROM qa JOIN ca USING (cell)
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+FROM sims QUALIFY rank <= 3
+"""
+
+
 def q_lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket key: sign pattern of 4 deterministic
     pseudo-hyperplanes h_j[i] = (i*31 + j*17) % 7 - 3 — identical integer
@@ -979,6 +1060,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "knn_cosine": q_knn_cosine,
+    "ivf_topk": q_ivf_topk,
     "lsh_cosine_buckets": q_lsh_cosine_buckets,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -1007,6 +1089,7 @@ ORACLES = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "knn_cosine": SQL_KNN_COSINE,
+    "ivf_topk": SQL_IVF_TOPK,
     "lsh_cosine_buckets": SQL_LSH_COSINE_BUCKETS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
