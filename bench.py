@@ -108,8 +108,15 @@ def run_scaling(
         active = SparkSession.getActiveSession()
         if active is not None:
             active.stop()
+        # IDENTICAL shuffle partitioning for both legs (4 * the larger
+        # core count): the two runs then execute the same physical plan
+        # with the same per-partition volumes, isolating executor count —
+        # partitions scaled with cores would give the smaller run fatter
+        # partitions and more spill, inflating measured efficiency.
         spark = get_spark(
-            f"bench_scale_{c}", master=f"local[{c}]", shuffle_partitions=c * 2
+            f"bench_scale_{c}",
+            master=f"local[{c}]",
+            shuffle_partitions=4 * max(cores),
         )
         spark.sparkContext.setLogLevel("ERROR")
         from bern_spark.datagen_spark import scale_corpus

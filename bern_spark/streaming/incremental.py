@@ -106,6 +106,66 @@ def foreach_batch_resolver(lexicon: DataFrame, dicts: dict[str, DataFrame], sink
     return _fn
 
 
+def streaming_dedup_mentions(mentions_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): emit each
+    distinct (conv_id, mention, etype) ONCE across the whole stream —
+    cross-micro-batch dedup the stateless prefix can't express and
+    ``dropDuplicates`` on an unbounded stream would OOM without.
+
+    State per group is a single seen-count (bytes, not the mention rows),
+    checkpointed by Structured Streaming, so a restart resumes dedup
+    exactly where it left off. The watermark on ``ts`` (set upstream)
+    bounds state via GroupStateTimeout.
+
+    Spark-native §2.9 extension: the reference is request/response and
+    re-annotates repeats from scratch (server.py caches by hash only).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, mention string, etype string, first_turn_idx int, "
+        "first_start int"
+    )
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.exists:
+            (seen,) = state.get
+        else:
+            seen = 0
+        first = None
+        for pdf in pdf_iter:
+            if seen == 0 and len(pdf):
+                p = pdf.sort_values(["turn_idx", "start"]).iloc[0]
+                first = (int(p["turn_idx"]), int(p["start"]))
+                seen = 1
+        state.update((seen,))
+        if first is not None:
+            conv_id, mention, etype = key
+            yield pd.DataFrame(
+                [
+                    {
+                        "conv_id": conv_id,
+                        "mention": mention,
+                        "etype": etype,
+                        "first_turn_idx": first[0],
+                        "first_start": first[1],
+                    }
+                ]
+            )
+
+    return (
+        mentions_stream.groupBy("conv_id", "mention", "etype")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType="seen int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_mention_counts(mentions_stream: DataFrame, window: str = "10 minutes") -> DataFrame:
     """Event-time tumbling counts per etype over the streaming mentions."""
     return (
