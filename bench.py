@@ -40,6 +40,25 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+LOWDUP_DOCS = 50_000  # ~1% near-dup rate corpus for the banded-pairs bench
+
+
+def _lowdup_dir(spark) -> str:
+    """Cached low-dup documents corpus (the driver's synthetic documents
+    are near-dup-saturated, so banded-verify walls there measure the
+    corpus, not the engine — VERDICT r2). Deterministic, generated once."""
+    import glob
+
+    corpus = f"/root/repo/.scratch/lowdup_docs_{LOWDUP_DOCS}"
+    if not glob.glob(f"{corpus}/documents.parquet/_SUCCESS"):
+        from bern_spark.datagen_spark import lowdup_documents
+
+        lowdup_documents(spark, LOWDUP_DOCS).write.mode("overwrite").parquet(
+            f"{corpus}/documents.parquet"
+        )
+    return corpus
+
+
 def run_headline(sf_dir: str) -> dict[str, float]:
     from bern_spark.entry_queries import QUERIES
     from bern_spark.session import get_spark
@@ -52,6 +71,15 @@ def run_headline(sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         _force(fn(spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+    # engine-measuring variants: IVF ANN on the sf embeddings, banded
+    # near-dup pairs on the controlled-dup-rate corpus (50k docs, ~1% dup)
+    t0 = time.time()
+    _force(QUERIES["ivf_topk"](spark, sf_dir))
+    times["ivf_topk"] = round(time.time() - t0, 3)
+    ld = _lowdup_dir(spark)
+    t0 = time.time()
+    _force(QUERIES["dedup_minhash_pairs"](spark, ld))
+    times["dedup_minhash_pairs_lowdup50k"] = round(time.time() - t0, 3)
     return times
 
 
@@ -135,10 +163,23 @@ def run_scaling(
         res = resolve_entities(tr, lex, dicts, config=ERConfig(), lineage_store=store)
         _force(res["mentions"])
         dt = time.time() - t0
-        out[f"local[{c}]"] = {
+        leg = {
             "sec": round(dt, 2),
             "turns_per_sec": round(n_rows / dt, 2),
         }
+        if use_lineage:
+            # per-stage wall decomposition (manifests record wall_sec at
+            # write time): the evidence for what part of the job floor
+            # does/doesn't scale with cores
+            stage_walls = {}
+            for mf in sorted(glob.glob(f"{ldir}/*.manifest.json")):
+                with open(mf) as f:
+                    m = json.load(f)
+                if "wall_sec" in m:
+                    stage_walls[m["stage"]] = m["wall_sec"]
+            leg["stage_wall_sec"] = stage_walls
+            leg["tail_sec"] = round(dt - sum(stage_walls.values()), 2)
+        out[f"local[{c}]"] = leg
         spark.stop()
         if use_lineage:
             shutil.rmtree(ldir, ignore_errors=True)

@@ -129,3 +129,39 @@ def scale_corpus(
     for k in ("meta_gene", "meta_disease", "meta_drug"):
         dicts[k] = spark.createDataFrame([], meta_schema)
     return transcripts, lexicon, dicts
+
+
+def lowdup_documents(
+    spark: SparkSession,
+    n_docs: int,
+    doc_len: int = 60,
+    dup_every: int = 100,
+    vocab: int = 50_000,
+    seed: int = 2019,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic documents corpus with a ~``1/dup_every`` near-dup
+    rate, for benching banded near-dup detection ON THE ENGINE (the
+    driver's synthetic documents share a ~30-word vocabulary, so every
+    pair is a near-dup and banded-verify walls there measure the corpus):
+    doc ``i`` with ``i % dup_every == 0`` (i>0) re-generates doc
+    ``i-1``'s token sequence with its last token replaced — a true
+    near-dup (Jaccard ~= (doc_len-1)/(doc_len+1) over distinct tokens) —
+    while unrelated docs draw ``doc_len`` tokens from a ``vocab``-sized
+    synthetic vocabulary (expected pairwise overlap ~doc_len^2/vocab
+    tokens, Jaccard ~0). Pure Catalyst (seeded xxhash64 token picks), so
+    output is byte-identical at any partitioning/core count."""
+    base = spark.range(n_docs, numPartitions=partitions)
+    is_dup = (F.col("id") % dup_every == 0) & (F.col("id") > 0)
+    src = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    pick = lambda p: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.xxhash64(src, p, F.lit(seed)), F.lit(vocab))
+    )
+    body = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), F.lit(doc_len - 2)), pick)
+    )
+    last = F.when(is_dup, F.lit("variant")).otherwise(pick(F.lit(doc_len - 1)))
+    return base.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.concat_ws(" ", body, last).alias("text"),
+    )

@@ -189,6 +189,94 @@ SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node ORDER BY node
 """
 
 
+# fixture pairs covering every branch of the pair scorer: exact equal,
+# case-equal, transpositions (classic Winkler examples), prefix boost,
+# unequal lengths, mutation-style strings, punctuation-vs-space tokens
+SCORE_PAIR_FIXTURE = [
+    ("aspirin", "aspirin"),
+    ("Aspirin", "aspirin"),
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("duane", "dwayne"),
+    ("BRCA1", "BRCA1 gene"),
+    ("diabetes mellitus", "diabetes"),
+    ("c.1847G>T", "c.1847G>A"),
+    ("alpha-2-macroglobulin", "alpha 2 macroglobulin"),
+    ("tp53", "p53"),
+    ("jellyfish", "smellyfish"),
+]
+
+
+def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine oracle for the pairwise scoring kernels (pytext
+    jaro_winkler / levenshtein_sim / token_jaccard via the REAL
+    ``pair_score_udf`` Arrow kernel, scoring.py): score alphabetically
+    adjacent distinct document tokens (vocabulary-bounded, deterministic)
+    plus a branch-coverage fixture. DuckDB side recomputes the identical
+    blend from its native jaro_winkler_similarity()/levenshtein() —
+    bit-parity verified (pytext.jaro uses the same floor'd
+    half-transposition convention)."""
+    from bern_spark.operators.scoring import pair_score_udf
+
+    toks = (
+        _toks(spark, sf_dir)
+        .select("tok")
+        .where(F.col("tok").rlike("^[a-z]{2,}$"))
+        .distinct()
+    )
+    # all distinct vocab pairs, a < b: quadratic in the VOCABULARY, which
+    # the documents wordlist bounds — this is a correctness fixture, not
+    # the scale path (the pipeline scores blocked candidates only)
+    a = toks.select(F.col("tok").alias("surface_a"))
+    b = toks.select(F.col("tok").alias("surface_b"))
+    data_pairs = a.crossJoin(b).where(F.col("surface_a") < F.col("surface_b"))
+    fix = spark.createDataFrame(SCORE_PAIR_FIXTURE, ["surface_a", "surface_b"])
+    allp = data_pairs.unionByName(fix)
+    return allp.select(
+        "surface_a",
+        "surface_b",
+        F.round(pair_score_udf("surface_a", "surface_b"), 4).alias("score"),
+    )
+
+
+_SCORE_FIX_VALS = ", ".join(f"('{a}', '{b}')" for a, b in SCORE_PAIR_FIXTURE)
+_CONLL_RE = r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]"
+SQL_ER_SCORE_PAIRS = f"""
+WITH vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE regexp_matches(tok, '^[a-z]{{2,}}$')
+),
+p AS (
+  SELECT a.tok AS surface_a, b.tok AS surface_b
+  FROM vocab a CROSS JOIN vocab b WHERE a.tok < b.tok
+  UNION ALL
+  SELECT * FROM (VALUES {_SCORE_FIX_VALS}) AS f(surface_a, surface_b)
+),
+s AS (
+  SELECT surface_a, surface_b, lower(surface_a) AS xa, lower(surface_b) AS xb,
+         list_distinct(regexp_extract_all(lower(surface_a), '{_CONLL_RE}')) AS ta,
+         list_distinct(regexp_extract_all(lower(surface_b), '{_CONLL_RE}')) AS tb
+  FROM p
+)
+SELECT surface_a, surface_b,
+  ROUND(CASE
+    WHEN surface_a = surface_b THEN 1.0
+    WHEN xa = xb THEN 0.99
+    ELSE 0.5 * jaro_winkler_similarity(xa, xb)
+       + 0.35 * (1.0 - CAST(levenshtein(xa, xb) AS DOUBLE)
+                       / GREATEST(LENGTH(xa), LENGTH(xb)))
+       + 0.15 * (CASE
+           WHEN len(ta) = 0 AND len(tb) = 0 THEN 1.0
+           WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
+           ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                / len(list_distinct(list_concat(ta, tb)))
+         END)
+  END, 4) AS score
+FROM s
+"""
+
+
 def q_tmchem_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 key function over part names (ASCII): lower + strip non-alnum."""
     p = _read(spark, sf_dir, "part")
@@ -1046,6 +1134,7 @@ QUERIES = {
     "er_normalize_counts": q_er_normalize_counts,
     "er_block_sizes": q_er_block_sizes,
     "er_cc": q_er_cc,
+    "er_score_pairs": q_er_score_pairs,
     "tmchem_key": q_tmchem_key,
     "species_taxid": q_species_taxid,
     "nth_occurrence": q_nth_occurrence,
@@ -1075,6 +1164,7 @@ ORACLES = {
     "er_normalize_counts": SQL_ER_NORMALIZE_COUNTS,
     "er_block_sizes": SQL_ER_BLOCK_SIZES,
     "er_cc": SQL_ER_CC,
+    "er_score_pairs": SQL_ER_SCORE_PAIRS,
     "tmchem_key": SQL_TMCHEM_KEY,
     "species_taxid": SQL_SPECIES_TAXID,
     "nth_occurrence": SQL_NTH_OCCURRENCE,

@@ -173,7 +173,11 @@ def jaro(a: str, b: str) -> float:
             if a[i] != b[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # canonical convention (rapidfuzz / jellyfish / DuckDB): the
+    # half-transposition count floors — integer division, not float.
+    # Cross-engine-checked bit-for-bit vs DuckDB jaro_winkler_similarity
+    # (the er_score_pairs oracle row).
+    t = transpositions // 2
     m = matches
     return (m / la + m / lb + (m - t) / m) / 3
 
@@ -241,6 +245,65 @@ def wordpiece_tokens(text: str, vocab, unk_token: str = "[UNK]") -> list[str]:
     for tok in (text or "").split():
         out.extend(wordpiece_tokenize(tok, vocab, unk_token))
     return out
+
+
+# W6 feature framing (reference convert_single_example, run_ner.py:785-847):
+# label ids are 1-based positions in this fixed list (run_ner.py:225,787).
+NER_LABELS = ["B", "I", "O", "X", "[CLS]", "[SEP]"]
+_LABEL_MAP = {l: i for i, l in enumerate(NER_LABELS, 1)}
+
+
+def frame_features(
+    words: list[str],
+    word_labels: list[str],
+    vocab_ids: dict[str, int],
+    max_seq_length: int = 256,
+    unk_token: str = "[UNK]",
+) -> dict[str, list]:
+    """W6: frame one sentence for a learned sequence model — the pure-
+    kernel form of the reference's ``convert_single_example``
+    (run_ner.py:785-847): WordPiece each whitespace word (first piece
+    keeps the word's BIO label, continuations get ``X``,
+    run_ner.py:793-801), truncate to ``max_seq_length - 2``
+    (run_ner.py:803-805), wrap in ``[CLS]``/``[SEP]`` with their own
+    label ids (run_ner.py:806-821), convert to vocab ids, then pad
+    ids/mask/segments/labels with 0 and tokens with ``**NULL**`` to
+    exactly ``max_seq_length`` (run_ner.py:824-831).
+
+    ``vocab_ids``: WordPiece vocab token -> id (also the membership set
+    for :func:`wordpiece_tokenize`). Completes the §2.5 pre-stage for any
+    learned-embedding scorer plugged into the pairwise scoring blend.
+    """
+    tokens: list[str] = []
+    labels: list[str] = []
+    for word, lab in zip(words, word_labels):
+        pieces = wordpiece_tokenize(word, vocab_ids, unk_token)
+        tokens.extend(pieces)
+        labels.append(lab)
+        labels.extend("X" for _ in pieces[1:])
+    if len(tokens) >= max_seq_length - 1:
+        tokens = tokens[: max_seq_length - 2]
+        labels = labels[: max_seq_length - 2]
+    ntokens = ["[CLS]", *tokens, "[SEP]"]
+    segment_ids = [0] * len(ntokens)
+    label_ids = [_LABEL_MAP["[CLS]"]]
+    label_ids += [_LABEL_MAP[l] for l in labels]
+    label_ids.append(_LABEL_MAP["[SEP]"])
+    input_ids = [vocab_ids[t] for t in ntokens]
+    input_mask = [1] * len(input_ids)
+    pad = max_seq_length - len(input_ids)
+    input_ids += [0] * pad
+    input_mask += [0] * pad
+    segment_ids += [0] * pad
+    label_ids += [0] * pad
+    ntokens += ["**NULL**"] * pad
+    return {
+        "ntokens": ntokens,
+        "input_ids": input_ids,
+        "input_mask": input_mask,
+        "segment_ids": segment_ids,
+        "label_ids": label_ids,
+    }
 
 
 def char_shingles(text: str, k: int = 3) -> set[str]:

@@ -3,19 +3,29 @@ step 7; north rule: "resumable from checkpoint with per-partition lineage
 + metrics").
 
 The reference's resumability is idempotent temp-file protocol + hash-named
-outputs (server.py:384-396). Here every pipeline stage can be materialized
-through a ``LineageStore``:
+outputs (server.py:384-396) — crucially *hash-named*: a changed input gets
+a new temp file, never a stale read. Here every pipeline stage can be
+materialized through a ``LineageStore`` with the same two properties:
 
-- ``run_stage``: stage output parquet + a JSON manifest recording per-file
-  rows and order-insensitive content checksums; a completed manifest makes
-  re-runs read-through (idempotent restarts).
+- ``run_stage``: stage output parquet + a JSON manifest recording row
+  count (captured via ``df.observe`` **during the write** — the stage
+  pays exactly one scan; per-file checksums are an opt-in second pass,
+  ``verify=True``, for audit jobs only), wall time, and a caller-supplied
+  ``fingerprint`` of (config, inputs, code version). A completed manifest
+  makes re-runs read-through (idempotent restarts) — but ONLY while the
+  fingerprint still matches; a changed fingerprint invalidates the stage
+  instead of silently returning stale parquet.
 - ``run_bucketed_stage``: hash-bucketed incremental execution — input rows
-  are assigned to ``n_buckets`` by a deterministic key; a restart
-  anti-joins completed buckets away and processes the whole remainder as
-  ONE bucket-partitioned Spark job (dynamic partition overwrite keeps
-  finished buckets intact). This is the per-partition resume unit: at
-  10^12-turn scale a stage is thousands of buckets and a preemption costs
-  the remainder job, never completed buckets.
+  are assigned to ``n_buckets`` by a deterministic key; remaining buckets
+  run as ``progress_jobs`` bucket-partitioned sub-jobs (dynamic partition
+  overwrite keeps finished buckets intact), with the manifest updated
+  after each sub-job. Resume granularity is therefore
+  ``n_buckets / progress_jobs`` buckets: a preemption costs at most the
+  in-flight sub-job, never completed sub-jobs. The tradeoff is explicit —
+  each sub-job re-scans the input to filter its buckets (``_bucket`` is a
+  computed column, so the filter cannot push down), so ``progress_jobs``
+  trades input scans for resume granularity; set it to 1 for
+  scan-once/no-intermediate-progress, higher when preemption is likely.
 
 All metadata is plain JSON on the filesystem the output lives on (on a
 real cluster: the object store next to the Iceberg tables).
@@ -23,12 +33,21 @@ real cluster: the object store next to the Iceberg tables).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+# distinguishes the current bucketed-partition directory layout
+# (``_bucket=N/``); manifests written by older code (``bucket=N/`` dirs)
+# lack the marker and are treated as stale rather than resumed against a
+# conflicting layout.
+_BUCKET_LAYOUT = "_bucket"
+
+_obs_counter = itertools.count()
 
 
 class LineageStore:
@@ -58,8 +77,12 @@ class LineageStore:
         os.replace(tmp, self._mpath(stage))  # atomic publish
 
     def _partition_metrics(self, spark: SparkSession, path: str) -> list[dict]:
+        """Audit pass: per-file rows + order-insensitive content checksums.
+        A FULL second scan of the stage output — opt-in (``verify=True``)
+        because at 100 TB it doubles stage read I/O; the default row
+        metric comes free from ``df.observe`` at write time."""
         df = spark.read.parquet(path)
-        cols = df.columns
+        cols = [c for c in df.columns if c != "_bucket"]
         per_file = (
             df.withColumn("_file", F.input_file_name())
             .groupBy("_file")
@@ -76,26 +99,44 @@ class LineageStore:
 
     # -- whole-stage checkpoint --------------------------------------------
 
-    def run_stage(self, spark: SparkSession, stage: str, build_fn) -> DataFrame:
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        build_fn,
+        fingerprint: str | None = None,
+        verify: bool = False,
+    ) -> DataFrame:
         """Materialize ``build_fn()`` once; subsequent calls (including
-        after a restart) read the parquet back without recompute."""
+        after a restart) read the parquet back without recompute — unless
+        ``fingerprint`` no longer matches the manifest's, in which case
+        the stage is recomputed (config/input/code drift invalidation).
+
+        Row count is observed during the single write pass; ``verify=True``
+        additionally runs the per-file checksum audit scan."""
         man = self.read_manifest(stage)
         path = self._dpath(stage)
         if man and man.get("status") == "complete":
-            return spark.read.parquet(path)
+            if fingerprint is None or man.get("fingerprint") == fingerprint:
+                return spark.read.parquet(path)
+            # fingerprint drift: fall through and recompute
+        t0 = time.time()
         df = build_fn()
-        df.write.mode("overwrite").parquet(path)
-        parts = self._partition_metrics(spark, path)
-        self._write_manifest(
-            stage,
-            {
-                "status": "complete",
-                "stage": stage,
-                "rows": sum(p["rows"] for p in parts),
-                "partitions": parts,
-                "ts": time.time(),
-            },
-        )
+        obs = Observation(f"lineage_{stage}_{next(_obs_counter)}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        payload = {
+            "status": "complete",
+            "stage": stage,
+            "rows": obs.get["rows"],
+            "fingerprint": fingerprint,
+            "wall_sec": round(time.time() - t0, 3),
+            "ts": time.time(),
+        }
+        if verify:
+            payload["partitions"] = self._partition_metrics(spark, path)
+        self._write_manifest(stage, payload)
         return spark.read.parquet(path)
 
     # -- bucketed incremental stage ----------------------------------------
@@ -108,6 +149,8 @@ class LineageStore:
         bucket_cols: list[str],
         transform_fn,
         n_buckets: int = 16,
+        progress_jobs: int = 4,
+        fingerprint: str | None = None,
     ) -> DataFrame:
         """Process ``input_df`` in deterministic hash buckets; resume skips
         completed buckets. ``transform_fn(df)`` must be keyed within
@@ -115,43 +158,66 @@ class LineageStore:
         ``bucket_cols`` lands in exactly one bucket by construction) and
         preserve the ``_bucket`` column it receives.
 
-        All REMAINING buckets run as ONE Spark job with
-        ``partitionBy(_bucket)`` dynamic-overwrite output: completed
-        buckets' directories are untouched (dynamic mode only replaces
-        partitions present in the written data), and throughput is the
-        cluster's, not one-bucket-at-a-time. The bucket remains the
-        resume unit — a restart anti-joins ``done_buckets`` away; a crash
-        mid-job redoes only the remainder job (in-job task failures are
-        Spark's own retry domain)."""
-        man = self.read_manifest(stage) or {
-            "status": "in_progress",
-            "stage": stage,
-            "n_buckets": n_buckets,
-            "done_buckets": [],
-        }
+        Remaining buckets run as ``min(progress_jobs, remaining)``
+        bucket-partitioned Spark sub-jobs with ``partitionBy(_bucket)``
+        dynamic-overwrite output; the manifest's ``done_buckets`` is
+        updated after EACH sub-job, so a preemption costs at most one
+        in-flight sub-job (in-job task failures remain Spark's own retry
+        domain). Completed buckets' directories are untouched — dynamic
+        mode only replaces partitions present in the written data.
+
+        Manifests from the pre-``_bucket=`` layout (no ``layout`` marker)
+        or with a different ``n_buckets``/``fingerprint`` are stale: the
+        stage restarts from zero buckets rather than resuming against
+        incompatible output."""
+        man = self.read_manifest(stage)
+        if man is not None and (
+            man.get("layout") != _BUCKET_LAYOUT
+            or man.get("n_buckets") != n_buckets
+            or (fingerprint is not None and man.get("fingerprint") != fingerprint)
+        ):
+            man = None  # incompatible prior run: restart from scratch
+        if man is None:
+            man = {
+                "status": "in_progress",
+                "stage": stage,
+                "layout": _BUCKET_LAYOUT,
+                "n_buckets": n_buckets,
+                "fingerprint": fingerprint,
+                "done_buckets": [],
+            }
+        path = self._dpath(stage)
         if man.get("status") == "complete":
-            return spark.read.parquet(self._dpath(stage))
+            return spark.read.parquet(path)
         done = set(man.get("done_buckets", []))
+        remaining = [b for b in range(n_buckets) if b not in done]
 
         bucketed = input_df.withColumn(
             "_bucket", F.pmod(F.hash(*bucket_cols), F.lit(n_buckets))
         )
-        path = self._dpath(stage)
-        remaining = bucketed
-        if done:
-            remaining = bucketed.where(~F.col("_bucket").isin(*sorted(done)))
-        part = transform_fn(remaining)
+        n_jobs = max(1, min(progress_jobs, len(remaining)))
+        chunks = [remaining[i::n_jobs] for i in range(n_jobs)]
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        t0 = time.time()
+        new_rows = 0
         try:
-            part.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+            for chunk in chunks:
+                part = transform_fn(bucketed.where(F.col("_bucket").isin(chunk)))
+                obs = Observation(f"lineage_{stage}_{next(_obs_counter)}")
+                part.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                    "overwrite"
+                ).partitionBy("_bucket").parquet(path)
+                new_rows += obs.get["rows"]
+                done.update(chunk)
+                man["done_buckets"] = sorted(done)
+                man["rows_done"] = man.get("rows_done", 0) + obs.get["rows"]
+                self._write_manifest(stage, man)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        man["done_buckets"] = sorted(set(range(n_buckets)))
         man["status"] = "complete"
+        man["rows"] = man.get("rows_done", new_rows)
+        man["wall_sec"] = round(time.time() - t0, 3)
         man["ts"] = time.time()
-        parts = self._partition_metrics(spark, path)
-        man["rows"] = sum(p["rows"] for p in parts)
-        man["partitions"] = parts
         self._write_manifest(stage, man)
         return spark.read.parquet(path)

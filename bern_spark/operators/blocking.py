@@ -116,12 +116,17 @@ def candidate_pairs(
 
     Salting: blocks larger than ``max_block_size`` split into shards by a
     deterministic surface hash, bounding per-block pair work at cap^2 per
-    shard. Cross-shard recall is NOT silently dropped: each shard's
+    shard. Cross-shard recall is a DISCLOSED tradeoff, partially
+    recoverable via representative bridge pairs: each shard's
     lexicographic-min surface additionally pairs with the block's overall
-    min (one bridge pair per shard), so a true match split across shards
-    is recoverable by transitive clustering through the representative —
-    it still has to *score* as a match like any pair, so no false merges
-    are introduced. ``salting_stats`` reports which blocks sharded.
+    min (one bridge pair per shard), so a true match (x, y) split across
+    shards can be recovered by transitive clustering — but only when every
+    hop in x–shardRep–blockRep–shardRep'–y independently scores above
+    threshold, which unrelated representative surfaces generally won't.
+    The mechanism adds connectivity, not guaranteed recall; no false
+    merges are introduced (bridges still have to *score*).
+    ``salting_stats`` reports which blocks sharded so the recall exposure
+    is measurable.
     """
     keyed = surfaces.select(
         "surface", "etype", F.col("block_key").alias("bkey")

@@ -105,6 +105,7 @@ def connected_components(
 
     sig = _sig(e)
     converged = False
+    prev_e = e
     for i in range(max_iter):
         # the relational star round reads its input twice (min-aggregate
         # branch + join branch), so cache the large-star intermediate or
@@ -113,9 +114,17 @@ def connected_components(
         e2 = _star_round(mid, large=False)
         if checkpoint_every and i % checkpoint_every == 0:
             e2 = e2.persist().localCheckpoint(eager=True)
-        sig2 = _sig(e2)
+        else:
+            # persist BEFORE the signature action so e2 materializes into
+            # cache while mid is still persisted; mid can then be released
+            # without the next iteration recomputing it along both star
+            # branches (recompute only recurs on cache eviction)
+            e2 = e2.persist()
+        sig2 = _sig(e2)  # materializes e2 either way
         mid.unpersist()
-        e = e2
+        if prev_e is not e2:
+            prev_e.unpersist()
+        prev_e = e = e2
         if sig2 == sig:
             converged = True
             break

@@ -28,6 +28,45 @@ from bern_spark.operators.extract import extract_mentions
 from bern_spark.operators.normalize import CUI_LESS, attach_metadata, normalize_all
 from bern_spark.operators.scoring import score_pairs
 
+# Bump when stage semantics change: part of the lineage fingerprint, so a
+# resumed store never replays stage parquet written by incompatible code
+# (the reference's hash-named temp files, server.py:384-396, made explicit).
+PIPELINE_VERSION = "3"
+
+
+def _input_token(df: DataFrame | None) -> str:
+    """Cheap identity token for a pipeline input: the file snapshot when
+    the input is file-backed (captures appends/replacements), else the
+    canonicalized-plan hash (captures in-memory content/expr changes).
+    Driver-side metadata only — no Spark job. A false mismatch merely
+    recomputes; a false match would read stale parquet, so prefer the
+    file listing when one exists."""
+    if df is None:
+        return "none"
+    files = df.inputFiles()
+    if files:
+        return "files:" + ",".join(sorted(files))
+    return f"plan:{df.semanticHash()}"
+
+
+def pipeline_fingerprint(
+    transcripts: DataFrame,
+    lexicon: DataFrame,
+    dicts: dict[str, DataFrame],
+    id_merge: DataFrame | None,
+    cfg: "ERConfig",
+    mirna_dict: DataFrame | None = None,
+    pathway_names: list[str] | None = None,
+) -> str:
+    import hashlib
+
+    toks = [PIPELINE_VERSION, repr(cfg), _input_token(transcripts), _input_token(lexicon)]
+    toks += [f"{k}={_input_token(dicts[k])}" for k in sorted(dicts)]
+    toks.append(_input_token(id_merge))
+    toks.append(_input_token(mirna_dict))
+    toks.append(",".join(pathway_names or []))
+    return hashlib.sha256("|".join(toks).encode()).hexdigest()
+
 
 @dataclass
 class ERConfig:
@@ -76,11 +115,17 @@ def resolve_entities(
     if lineage_store is not None:
         spark = transcripts.sparkSession
         _stage_no = [0]
+        # one fingerprint for the whole run: any config/input/code drift
+        # invalidates every stage (positional stage names make per-stage
+        # fingerprints meaningless — an upstream change shifts them all)
+        fp = pipeline_fingerprint(
+            transcripts, lexicon, dicts, id_merge, cfg, mirna_dict, pathway_names
+        )
 
         def cut(df):
             _stage_no[0] += 1
             name = f"stage_{_stage_no[0]:02d}"
-            return lineage_store.run_stage(spark, name, lambda: df)
+            return lineage_store.run_stage(spark, name, lambda: df, fingerprint=fp)
 
     elif cfg.checkpoint_stages:
         cut = lambda df: df.localCheckpoint()  # noqa: E731

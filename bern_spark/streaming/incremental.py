@@ -26,6 +26,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bern_spark.datagen import SPECIES_STOPLIST
+
+_DURATION_UNITS_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "sec": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(s: str) -> int:
+    """Parse a Spark-style duration string ('1 hour', '30 seconds') to ms."""
+    parts = s.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _DURATION_UNITS_MS:
+        raise ValueError(f"unsupported duration: {s!r}")
+    return int(float(parts[0]) * _DURATION_UNITS_MS[parts[1].lower()])
 from bern_spark.operators.extract import (
     anchor_set_for,
     lexicon_max_ngram,
@@ -106,16 +122,28 @@ def foreach_batch_resolver(lexicon: DataFrame, dicts: dict[str, DataFrame], sink
     return _fn
 
 
-def streaming_dedup_mentions(mentions_stream: DataFrame) -> DataFrame:
+def streaming_dedup_mentions(
+    mentions_stream: DataFrame, state_ttl: str = "1 hour"
+) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): emit each
-    distinct (conv_id, mention, etype) ONCE across the whole stream —
+    distinct (conv_id, mention, etype) ONCE while its state lives —
     cross-micro-batch dedup the stateless prefix can't express and
     ``dropDuplicates`` on an unbounded stream would OOM without.
 
     State per group is a single seen-count (bytes, not the mention rows),
     checkpointed by Structured Streaming, so a restart resumes dedup
-    exactly where it left off. The watermark on ``ts`` (set upstream)
-    bounds state via GroupStateTimeout.
+    exactly where it left off. State is BOUNDED: each group's timeout is
+    set to ``watermark + state_ttl`` (``GroupStateTimeout.EventTimeTimeout``
+    + ``setTimeoutTimestamp``), and the handler removes timed-out state —
+    so on an unbounded stream, live state is O(keys seen within the
+    watermark+TTL horizon), not O(all keys ever). The disclosed tradeoff:
+    a key idle longer than the horizon is forgotten and will re-emit if it
+    reappears — bounded state and eternal dedup identity are mutually
+    exclusive on an unbounded stream; callers needing exact global dedup
+    run the periodic batch reconciliation (module docstring).
+
+    Requires a watermark on ``ts`` upstream (streaming_candidate_mentions
+    sets it); EventTimeTimeout raises at query start otherwise.
 
     Spark-native §2.9 extension: the reference is request/response and
     re-annotates repeats from scratch (server.py caches by hash only).
@@ -123,23 +151,42 @@ def streaming_dedup_mentions(mentions_stream: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = _duration_ms(state_ttl)
     out_schema = (
         "conv_id string, mention string, etype string, first_turn_idx int, "
         "first_start int"
     )
 
     def dedup(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed this group's horizon: evict. The next
+            # arrival of this key re-emits — bounded-state semantics.
+            state.remove()
+            return
         if state.exists:
             (seen,) = state.get
         else:
             seen = 0
         first = None
+        max_ts_ms = None
         for pdf in pdf_iter:
+            if len(pdf):
+                # session tz is UTC (session.py), so pandas timestamps are
+                # epoch-consistent with the watermark clock
+                m = int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
+                max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
             if seen == 0 and len(pdf):
                 p = pdf.sort_values(["turn_idx", "start"]).iloc[0]
                 first = (int(p["turn_idx"]), int(p["start"]))
                 seen = 1
         state.update((seen,))
+        # TTL anchored on event time, floored at the watermark: anchoring
+        # on the watermark alone would put first-batch timeouts at
+        # epoch+TTL (watermark starts at 0) and mass-evict on batch two
+        base = state.getCurrentWatermarkMs()
+        if max_ts_ms is not None:
+            base = max(base, max_ts_ms)
+        state.setTimeoutTimestamp(base + ttl_ms)
         if first is not None:
             conv_id, mention, etype = key
             yield pd.DataFrame(
@@ -161,7 +208,7 @@ def streaming_dedup_mentions(mentions_stream: DataFrame) -> DataFrame:
             outputStructType=out_schema,
             stateStructType="seen int",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

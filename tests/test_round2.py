@@ -345,7 +345,11 @@ def test_force_chunk_mixed_sentences():
 # ---------------------------------------------------------------------------
 
 
-def test_bucketed_stage_single_transform_invocation(spark, tmp_path):
+def test_bucketed_stage_bounded_transform_invocations(spark, tmp_path):
+    """Sub-job count is min(progress_jobs, remaining buckets) — NOT one
+    job per bucket (throughput) and NOT a single job for everything
+    (which left no incremental progress to resume from, the round-2
+    ADVICE defect). progress_jobs=1 still gives the scan-once mode."""
     import json
     import os
 
@@ -359,19 +363,23 @@ def test_bucketed_stage_single_transform_invocation(spark, tmp_path):
         calls["n"] += 1
         return df.withColumn("out", F.length("k"))
 
-    out = store.run_bucketed_stage(spark, "pb", inp, ["k"], transform, n_buckets=8)
+    out = store.run_bucketed_stage(
+        spark, "pb", inp, ["k"], transform, n_buckets=8, progress_jobs=1
+    )
     assert out.count() == 400
-    assert calls["n"] == 1  # all buckets in ONE Spark job, not 8
+    assert calls["n"] == 1  # scan-once mode: all buckets in ONE job
 
-    # resume after simulated preemption: completed buckets are untouched,
-    # the remainder is again one job
+    # resume after simulated preemption: completed buckets untouched, the
+    # 5 remaining buckets run as min(progress_jobs=4, 5)=4 sub-jobs with
+    # the manifest updated between them
     man = store.read_manifest("pb")
     man["status"] = "in_progress"
     man["done_buckets"] = man["done_buckets"][:3]
+    man.pop("rows_done", None)
     with open(os.path.join(str(tmp_path), "pb.manifest.json"), "w") as f:
         json.dump(man, f)
     out2 = store.run_bucketed_stage(spark, "pb", inp, ["k"], transform, n_buckets=8)
-    assert calls["n"] == 2
+    assert calls["n"] == 1 + 4
     assert out2.count() == 400
     assert out2.select("id").distinct().count() == 400
 

@@ -149,3 +149,137 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     assert len(rows) == 2, rows
     assert got[("c1", "aspirin")] == (0, 5)
     assert got[("c2", "aspirin")] == (0, 0)
+
+
+_TRANSCRIPT_SCHEMA_FIELDS = [
+    ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+    ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+]
+
+
+def _tschema():
+    from pyspark.sql import types as T
+
+    m = {"string": T.StringType(), "int": T.IntegerType(), "timestamp": T.TimestampType()}
+    return T.StructType([T.StructField(n, m[t]) for n, t in _TRANSCRIPT_SCHEMA_FIELDS])
+
+
+def test_streaming_dedup_state_expires_after_watermark(spark, tmp_path):
+    """Bounded-state semantics (VERDICT r2 'what's wrong' #1): a group's
+    state is EVICTED once the watermark passes its event-time TTL, so a
+    key reappearing after expiry re-emits — state is O(keys within the
+    horizon), not O(all keys ever)."""
+    import datetime
+
+    from bern_spark.streaming.incremental import (
+        streaming_candidate_mentions,
+        streaming_dedup_mentions,
+    )
+
+    schema = _tschema()
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lex = spark.createDataFrame([("drug", "aspirin", 0.8)], ["etype", "surface", "weight"])
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        d = streaming_dedup_mentions(
+            streaming_candidate_mentions(stream, lex, watermark="1 hour"),
+            state_ttl="10 minutes",
+        )
+        q = (
+            d.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    # batch 1: c1 emits; its state TTL = t0 + 10 min (event-time anchored)
+    feed([("c1", 0, "user", "take aspirin", None, t0)])
+    run_once()
+    # batch 2: unrelated key far in the future advances the watermark to
+    # t0+2h (3h max event time - 1h delay) — past c1's TTL
+    feed([("c9", 0, "user", "aspirin here", None, t0 + 3 * h)])
+    run_once()
+    # batch 3: another unrelated key; c1 gets NO data this batch, so its
+    # timed-out state fires (hasTimedOut) and is removed
+    feed([("c8", 0, "user", "aspirin too", None, t0 + 3 * h)])
+    run_once()
+    # batch 4: c1 reappears (within watermark) — state was evicted, so it
+    # must RE-emit; with NoTimeout semantics this row would be suppressed
+    feed([("c1", 7, "user", "aspirin returns", None, t0 + 3 * h)])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    c1 = sorted(r.first_turn_idx for r in rows if r.conv_id == "c1")
+    assert c1 == [0, 7], rows  # emitted once before expiry, once after
+    assert len(rows) == 4, rows  # c1 x2 + c9 + c8
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Rows later than the watermark are DROPPED from windowed counts —
+    the stated watermark semantics, exercised with actual late data
+    (previous tests only used ordered input)."""
+    import datetime
+
+    from bern_spark.streaming.incremental import (
+        streaming_candidate_mentions,
+        windowed_mention_counts,
+    )
+
+    schema = _tschema()
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lex = spark.createDataFrame([("drug", "aspirin", 0.8)], ["etype", "surface", "weight"])
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = windowed_mention_counts(
+            streaming_candidate_mentions(stream, lex, watermark="1 hour")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")  # append: only watermark-finalized windows
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    m = datetime.timedelta(minutes=1)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    # window W0 = [t0, t0+10m) gets one on-time row
+    feed([("c1", 0, "user", "aspirin", None, t0)])
+    run_once()
+    # advance the watermark to t0+2h
+    feed([("c2", 0, "user", "aspirin", None, t0 + 3 * h)])
+    run_once()
+    # a LATE W0 row (t0+1m, vs watermark t0+2h) arrives alongside a fresh
+    # row; the late row must be dropped, and W0 finalizes this batch
+    feed([
+        ("c3", 0, "user", "late aspirin", None, t0 + m),
+        ("c4", 0, "user", "aspirin", None, t0 + 6 * h),
+    ])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    w0 = [r for r in rows if r.window_start == t0]
+    assert len(w0) == 1, rows
+    assert w0[0].n_mentions == 1  # the late row did NOT count
