@@ -306,6 +306,42 @@ def frame_features(
     }
 
 
+def detokenize(
+    tokens: list[str], labels: list[str], logits: list[float]
+) -> tuple[list[list[str]], list[list[str]], list[list[float]]]:
+    """W7: merge WordPiece output back to words, grouped by sentence —
+    the reference's ``detokenize`` (ops.py:479-510), same semantics:
+    ``[CLS]`` is skipped, ``[SEP]`` closes a sentence group, ``##``-pieces
+    append their suffix to the previous word (the FIRST piece's
+    label/logit represents the word — continuation labels are the W6
+    ``X`` filler and are dropped). Inputs are parallel arrays as framed
+    by :func:`frame_features`; callers slice off padding first (apply
+    ``input_mask`` — the reference never sees pad tokens here because it
+    detokenizes the model's per-token output stream)."""
+    words: list[list[str]] = []
+    wlabels: list[list[str]] = []
+    wlogits: list[list[float]] = []
+    cur_w: list[str] = []
+    cur_l: list[str] = []
+    cur_s: list[float] = []
+    for t, l, s in zip(tokens, labels, logits):
+        if t == "[CLS]":
+            continue
+        if t == "[SEP]":
+            words.append(cur_w)
+            wlabels.append(cur_l)
+            wlogits.append(cur_s)
+            cur_w, cur_l, cur_s = [], [], []
+            continue
+        if t[:2] == "##":
+            cur_w[-1] = cur_w[-1] + t[2:]
+        else:
+            cur_w.append(t)
+            cur_l.append(l)
+            cur_s.append(s)
+    return words, wlabels, wlogits
+
+
 def char_shingles(text: str, k: int = 3) -> set[str]:
     """Character k-shingles of the lowercased, space-collapsed string —
     the MinHash input unit for blocking."""

@@ -1,0 +1,235 @@
+"""S9: TFRecord sink for framed NER features — pure Python, no TensorFlow.
+
+The reference serializes each framed sentence as a ``tf.train.Example``
+with int64 features input_ids/input_mask/segment_ids/label_ids through
+``tf.python_io.TFRecordWriter`` (run_ner.py:662-698). Both formats are
+public and simple, so this engine writes them natively:
+
+- TFRecord framing (TensorFlow's record format): per record, an 8-byte
+  little-endian length, the masked CRC32C of those length bytes, the
+  payload, and the masked CRC32C of the payload. CRC32C is the Castagnoli
+  CRC (reflected polynomial 0x82F63B78); the mask is
+  ``rotr15(crc) + 0xa282ead8 (mod 2^32)``.
+- ``tf.train.Example`` protobuf wire encoding, hand-rolled for the three
+  feature kinds (Int64List packed varints, FloatList packed LE floats,
+  BytesList length-delimited) — the full schema the reference emits.
+
+The Spark sink (:func:`write_examples`) is ``mapInPandas``: each
+partition streams its rows into one shard file and yields a one-row
+manifest (shard path, record count) — per-partition imperative I/O kept
+inside the DataFrame API, no driver collect of the data.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+# -- CRC32C (Castagnoli), table-driven ---------------------------------------
+
+_CRC_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    c = crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# -- protobuf wire encoding (tf.train.Example subset) -------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(tag_byte: int, payload: bytes) -> bytes:
+    """Length-delimited field: tag, varint length, payload."""
+    return bytes([tag_byte]) + _varint(len(payload)) + payload
+
+
+def _feature(values) -> bytes:
+    """Encode one tf.train.Feature (oneof by python value type)."""
+    if not values:
+        # empty int64_list — matches TF's default-empty Feature
+        return _ld(0x1A, b"")
+    v0 = values[0]
+    if isinstance(v0, (bytes, bytearray)):
+        body = b"".join(_ld(0x0A, bytes(v)) for v in values)
+        return _ld(0x0A, body)  # BytesList in field 1
+    if isinstance(v0, float):
+        body = _ld(0x0A, struct.pack(f"<{len(values)}f", *values))
+        return _ld(0x12, body)  # FloatList in field 2, packed
+    body = _ld(0x0A, b"".join(_varint(int(v)) for v in values))
+    return _ld(0x1A, body)  # Int64List in field 3, packed
+
+
+def encode_example(features: dict) -> bytes:
+    """Serialize {name: list[int]|list[float]|list[bytes]} as a
+    tf.train.Example (Features map in field 1; map entries are key=1,
+    value=2 submessages). Keys are emitted in sorted order so output is
+    deterministic (proto map order is unspecified; sorting fixes it)."""
+    entries = b""
+    for name in sorted(features):
+        entry = _ld(0x0A, name.encode("utf-8")) + _ld(0x12, _feature(features[name]))
+        entries += _ld(0x0A, entry)
+    return _ld(0x0A, entries)
+
+
+# -- TFRecord framing ----------------------------------------------------------
+
+
+def write_record(fh, payload: bytes) -> None:
+    header = struct.pack("<Q", len(payload))
+    fh.write(header)
+    fh.write(struct.pack("<I", _masked_crc(header)))
+    fh.write(payload)
+    fh.write(struct.pack("<I", _masked_crc(payload)))
+
+
+def read_tfrecord_file(path: str) -> list[bytes]:
+    """Read all records, validating both CRCs (corruption fails loudly)."""
+    out = []
+    with open(path, "rb") as fh:
+        while True:
+            header = fh.read(8)
+            if not header:
+                return out
+            (hcrc,) = struct.unpack("<I", fh.read(4))
+            if _masked_crc(header) != hcrc:
+                raise ValueError(f"{path}: length CRC mismatch at record {len(out)}")
+            (n,) = struct.unpack("<Q", header)
+            payload = fh.read(n)
+            (pcrc,) = struct.unpack("<I", fh.read(4))
+            if _masked_crc(payload) != pcrc:
+                raise ValueError(f"{path}: payload CRC mismatch at record {len(out)}")
+            out.append(payload)
+
+
+def decode_example(data: bytes) -> dict:
+    """Minimal Example decoder (inverse of :func:`encode_example`) for
+    round-trip tests: returns {name: list of int/float/bytes}."""
+
+    def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+        shift = n = 0
+        while True:
+            b = buf[i]
+            n |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                return n, i
+            shift += 7
+
+    def _fields(buf: bytes):
+        i = 0
+        while i < len(buf):
+            tag, i = _read_varint(buf, i)
+            fnum, wire = tag >> 3, tag & 7
+            if wire == 2:
+                ln, i = _read_varint(buf, i)
+                yield fnum, buf[i : i + ln]
+                i += ln
+            elif wire == 0:
+                v, i = _read_varint(buf, i)
+                yield fnum, v
+            else:  # pragma: no cover - not produced by encode_example
+                raise ValueError(f"unsupported wire type {wire}")
+
+    out: dict = {}
+    for fnum, features_buf in _fields(data):
+        assert fnum == 1
+        for enum, entry in _fields(features_buf):
+            assert enum == 1
+            name, feat = None, None
+            for k, v in _fields(entry):
+                if k == 1:
+                    name = v.decode("utf-8")
+                else:
+                    feat = v
+            for kind, body in _fields(feat):
+                vals: list = []
+                for _, packed in _fields(body):
+                    if kind == 1:  # bytes_list: one field per value
+                        vals.append(packed)
+                    elif kind == 2:  # float_list: packed floats
+                        vals.extend(struct.unpack(f"<{len(packed) // 4}f", packed))
+                    else:  # int64_list: packed varints
+                        i = 0
+                        while i < len(packed):
+                            v, i = _read_varint(packed, i)
+                            vals.append(v)
+                out[name] = vals
+    return out
+
+
+# -- Spark sink ----------------------------------------------------------------
+
+NER_FEATURE_COLS = ["input_ids", "input_mask", "segment_ids", "label_ids"]
+
+
+def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
+    """Sink ``df`` to TFRecord shards: one ``part-NNNNN.tfrecord`` per
+    partition (mapInPandas — executors write their own shard, nothing
+    funnels through the driver). ``feature_cols`` default to the
+    reference's NER feature schema (run_ner.py:677-683); array<int>
+    columns become Int64List features, array<float> FloatList,
+    string/binary BytesList.
+
+    Returns the manifest DataFrame (shard, n_records) — an action on it
+    (e.g. ``.collect()``) performs the write, mirroring how every Spark
+    sink is driven."""
+    import pandas as pd
+
+    cols = feature_cols or NER_FEATURE_COLS
+    os.makedirs(out_dir, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    with_pid = df.select(*cols, F.spark_partition_id().alias("_pid"))
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fh = None
+        pid = -1
+        n = 0
+        path = None
+        for pdf in batches:
+            if fh is None and len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+                path = os.path.join(out_dir, f"part-{pid:05d}.tfrecord")
+                fh = open(path, "wb")
+            for row in pdf[cols].itertuples(index=False):
+                feats = {}
+                for name, val in zip(cols, row):
+                    if isinstance(val, (str, bytes)):
+                        feats[name] = [
+                            val.encode("utf-8") if isinstance(val, str) else val
+                        ]
+                    else:
+                        feats[name] = list(val)
+                write_record(fh, encode_example(feats))
+                n += 1
+        if fh is not None:
+            fh.close()
+            yield pd.DataFrame({"shard": [path], "n_records": [n]})
+
+    return with_pid.mapInPandas(_write, schema="shard string, n_records long")

@@ -202,3 +202,121 @@ def test_cc_star_round_shuffle_budget(spark):
     for p in (p_large, p_small):
         assert "collect_set" not in p and "CollectSet" not in p, p
         assert "BatchEvalPython" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# W7 detokenize + S9 TFRecord sink
+# ---------------------------------------------------------------------------
+
+
+def test_detokenize_inverts_framing():
+    from bern_spark.functions.pytext import detokenize, frame_features
+
+    f = frame_features(
+        ["brca1", "is", "mutated"], ["B", "O", "O"], W6_VOCAB, max_seq_length=12
+    )
+    n = sum(f["input_mask"])  # strip padding like a real consumer
+    toks = f["ntokens"][:n]
+    labels = ["[CLS]", "B", "X", "X", "O", "O", "X", "[SEP]"]
+    logits = [0.0, 0.9, 0.1, 0.1, 0.8, 0.7, 0.2, 0.0]
+    words, wlabels, wlogits = detokenize(toks, labels, logits)
+    assert words == [["brca1", "is", "mutated"]]
+    assert wlabels == [["B", "O", "O"]]  # X continuations dropped
+    assert wlogits == [[0.9, 0.8, 0.7]]  # first piece represents the word
+
+
+def test_detokenize_multi_sentence():
+    from bern_spark.functions.pytext import detokenize
+
+    toks = ["[CLS]", "a", "[SEP]", "[CLS]", "b", "##c", "[SEP]"]
+    labels = ["[CLS]", "B", "[SEP]", "[CLS]", "O", "X", "[SEP]"]
+    words, wlabels, _ = detokenize(toks, labels, [0.0] * 7)
+    assert words == [["a"], ["bc"]]
+    assert wlabels == [["B"], ["O"]]
+
+
+def test_crc32c_known_vectors():
+    from bern_spark.sources.tfrecord import crc32c
+
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283  # canonical CRC-32C check value
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+    from bern_spark.sources.tfrecord import (
+        decode_example,
+        encode_example,
+        read_tfrecord_file,
+        write_record,
+    )
+
+    exs = [
+        {"input_ids": [101, 5, 300, 102], "input_mask": [1, 1, 1, 1],
+         "segment_ids": [0, 0, 0, 0], "label_ids": [5, 1, 3, 6]},
+        {"input_ids": [101, 128, 16384, 102], "input_mask": [1, 1, 1, 0],
+         "segment_ids": [0, 0, 0, 0], "label_ids": [5, 2, 3, 6]},
+    ]
+    p = str(tmp_path / "t.tfrecord")
+    with open(p, "wb") as fh:
+        for ex in exs:
+            write_record(fh, encode_example(ex))
+    back = [decode_example(r) for r in read_tfrecord_file(p)]
+    assert back == exs  # multi-byte varints (300, 16384) survive
+
+    # corruption must fail the CRC, not decode garbage
+    data = bytearray(open(p, "rb").read())
+    data[20] ^= 0xFF
+    p2 = str(tmp_path / "bad.tfrecord")
+    open(p2, "wb").write(bytes(data))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        read_tfrecord_file(p2)
+
+
+def test_tfrecord_mixed_feature_kinds(tmp_path):
+    from bern_spark.sources.tfrecord import decode_example, encode_example
+
+    ex = {"ids": [1, 2, 3], "scores": [0.5, 1.5], "doc": [b"hello"]}
+    back = decode_example(encode_example(ex))
+    assert back["ids"] == [1, 2, 3]
+    assert back["doc"] == [b"hello"]
+    assert [round(x, 4) for x in back["scores"]] == [0.5, 1.5]
+
+
+def test_write_examples_spark_sink(spark, tmp_path):
+    """S9 end-to-end: frame W6 features in Spark, sink to TFRecord shards
+    via mapInPandas, read every shard back with CRC validation and check
+    record-level equality (the reference's filed_based_convert_examples_
+    to_features run_ner.py:662-698, minus the TF dependency)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bern_spark.functions.pytext import frame_features
+    from bern_spark.sources.tfrecord import (
+        decode_example,
+        read_tfrecord_file,
+        write_examples,
+    )
+
+    vocab = {"[CLS]": 101, "[SEP]": 102, "[UNK]": 100, "a": 1, "b": 2}
+    rows = []
+    for i, (words, labs) in enumerate(
+        [(["a", "b"], ["B", "O"]), (["b"], ["B"]), (["a", "a", "b"], ["O", "O", "B"])]
+    ):
+        f = frame_features(words, labs, vocab, max_seq_length=8)
+        rows.append((i, f["input_ids"], f["input_mask"], f["segment_ids"], f["label_ids"]))
+    df = spark.createDataFrame(
+        rows, "ex_id int, input_ids array<int>, input_mask array<int>, "
+        "segment_ids array<int>, label_ids array<int>"
+    ).repartition(2)
+    out = str(tmp_path / "shards")
+    manifest = write_examples(df, out).collect()
+    assert sum(m.n_records for m in manifest) == 3
+    got = []
+    for shard in sorted(glob.glob(f"{out}/part-*.tfrecord")):
+        got += [decode_example(r) for r in read_tfrecord_file(shard)]
+    want = {tuple(r[1]) for r in rows}
+    assert {tuple(g["input_ids"]) for g in got} == want
+    assert all(len(g["label_ids"]) == 8 for g in got)
