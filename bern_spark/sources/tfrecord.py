@@ -69,19 +69,27 @@ def _ld(tag_byte: int, payload: bytes) -> bytes:
 
 
 def _feature(values) -> bytes:
-    """Encode one tf.train.Feature (oneof by python value type)."""
-    if not values:
+    """Encode one tf.train.Feature (oneof by value type). Type checks go
+    through ``numbers`` so numpy scalars from Arrow batches (np.int32,
+    np.float32 in pandas rows) classify correctly — a plain
+    ``isinstance(v, float)`` misses np.float32 and would silently varint-
+    truncate float features."""
+    import numbers
+
+    if len(values) == 0:
         # empty int64_list — matches TF's default-empty Feature
         return _ld(0x1A, b"")
     v0 = values[0]
     if isinstance(v0, (bytes, bytearray)):
         body = b"".join(_ld(0x0A, bytes(v)) for v in values)
         return _ld(0x0A, body)  # BytesList in field 1
-    if isinstance(v0, float):
-        body = _ld(0x0A, struct.pack(f"<{len(values)}f", *values))
+    if isinstance(v0, numbers.Integral):
+        body = _ld(0x0A, b"".join(_varint(int(v)) for v in values))
+        return _ld(0x1A, body)  # Int64List in field 3, packed
+    if isinstance(v0, numbers.Real):
+        body = _ld(0x0A, struct.pack(f"<{len(values)}f", *(float(v) for v in values)))
         return _ld(0x12, body)  # FloatList in field 2, packed
-    body = _ld(0x0A, b"".join(_varint(int(v)) for v in values))
-    return _ld(0x1A, body)  # Int64List in field 3, packed
+    raise TypeError(f"unsupported feature value type: {type(v0).__name__}")
 
 
 def encode_example(features: dict) -> bytes:

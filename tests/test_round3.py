@@ -320,3 +320,19 @@ def test_write_examples_spark_sink(spark, tmp_path):
     want = {tuple(r[1]) for r in rows}
     assert {tuple(g["input_ids"]) for g in got} == want
     assert all(len(g["label_ids"]) == 8 for g in got)
+
+
+def test_tfrecord_numpy_scalars_classify_correctly():
+    """Arrow batches hand numpy scalars to the sink; np.float32 must
+    encode as FloatList (not varint-truncated) and np.int32 as Int64List."""
+    import numpy as np
+
+    from bern_spark.sources.tfrecord import decode_example, encode_example
+
+    ex = {
+        "f": list(np.array([0.25, 1.75], dtype=np.float32)),
+        "i": list(np.array([7, 300], dtype=np.int32)),
+    }
+    back = decode_example(encode_example(ex))
+    assert back["f"] == [0.25, 1.75]
+    assert back["i"] == [7, 300]
