@@ -240,7 +240,11 @@ def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SCORE_FIX_VALS = ", ".join(f"('{a}', '{b}')" for a, b in SCORE_PAIR_FIXTURE)
-_CONLL_RE = r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]"
+# single source of truth: the oracle tokenizes with the SAME regex as the
+# engine kernel (token_jaccard -> conll_tokens), so they cannot drift
+from bern_spark.functions.pytext import _TOKEN_RE as _CONLL_TOKEN_RE  # noqa: E402
+
+_CONLL_RE = _CONLL_TOKEN_RE.pattern
 SQL_ER_SCORE_PAIRS = f"""
 WITH vocab AS (
   SELECT DISTINCT tok FROM (

@@ -279,8 +279,12 @@ def frame_features(
     for word, lab in zip(words, word_labels):
         pieces = wordpiece_tokenize(word, vocab_ids, unk_token)
         tokens.extend(pieces)
-        labels.append(lab)
-        labels.extend("X" for _ in pieces[1:])
+        # label only per emitted piece (reference run_ner.py:796-801): a
+        # word yielding zero pieces (empty string) contributes no label,
+        # else labels would misalign one past the tokens
+        if pieces:
+            labels.append(lab)
+            labels.extend("X" for _ in pieces[1:])
     if len(tokens) >= max_seq_length - 1:
         tokens = tokens[: max_seq_length - 2]
         labels = labels[: max_seq_length - 2]

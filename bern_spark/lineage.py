@@ -36,6 +36,7 @@ from __future__ import annotations
 import itertools
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -177,6 +178,15 @@ class LineageStore:
             or (fingerprint is not None and man.get("fingerprint") != fingerprint)
         ):
             man = None  # incompatible prior run: restart from scratch
+        path = self._dpath(stage)
+        if man is None and os.path.exists(path):
+            # restart-from-scratch MUST clear prior output: dynamic
+            # partition overwrite only replaces partitions present in the
+            # newly written data, so a stale ``_bucket=N`` dir from an
+            # invalidated/um-manifested run would survive (and duplicate
+            # or resurrect rows) whenever the new run writes fewer or
+            # different buckets
+            shutil.rmtree(path)
         if man is None:
             man = {
                 "status": "in_progress",
@@ -186,7 +196,6 @@ class LineageStore:
                 "fingerprint": fingerprint,
                 "done_buckets": [],
             }
-        path = self._dpath(stage)
         if man.get("status") == "complete":
             return spark.read.parquet(path)
         done = set(man.get("done_buckets", []))

@@ -36,16 +36,29 @@ PIPELINE_VERSION = "3"
 
 def _input_token(df: DataFrame | None) -> str:
     """Cheap identity token for a pipeline input: the file snapshot when
-    the input is file-backed (captures appends/replacements), else the
+    the input is file-backed (captures appends/replacements — and, for
+    locally statable files, in-place rewrites via size+mtime), else the
     canonicalized-plan hash (captures in-memory content/expr changes).
     Driver-side metadata only — no Spark job. A false mismatch merely
     recomputes; a false match would read stale parquet, so prefer the
-    file listing when one exists."""
+    file listing when one exists. (On Iceberg the snapshot id is the
+    right token; object-store URIs that can't be stat'd fall back to
+    names only.)"""
+    import os
+
     if df is None:
         return "none"
     files = df.inputFiles()
     if files:
-        return "files:" + ",".join(sorted(files))
+        toks = []
+        for f in sorted(files):
+            p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+            try:
+                st = os.stat(p)
+                toks.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                toks.append(f)
+        return "files:" + ",".join(toks)
     return f"plan:{df.semanticHash()}"
 
 

@@ -52,6 +52,10 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative int64 as its 64-bit two's complement
+        # (always 10 bytes); without this, the shift loop never terminates
+        n += 1 << 64
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -209,6 +213,11 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
     import pandas as pd
 
     cols = feature_cols or NER_FEATURE_COLS
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        # shard names carry only the partition id; writing into a
+        # non-empty dir would leave stale shards from a previous (wider)
+        # run mixed with fresh ones for any part-*.tfrecord consumer
+        raise ValueError(f"TFRecord out_dir not empty: {out_dir}")
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import functions as F
@@ -217,14 +226,17 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fh = None
-        pid = -1
         n = 0
-        path = None
+        path = tmp = None
         for pdf in batches:
             if fh is None and len(pdf):
                 pid = int(pdf["_pid"].iloc[0])
                 path = os.path.join(out_dir, f"part-{pid:05d}.tfrecord")
-                fh = open(path, "wb")
+                # write to an attempt-unique temp file, atomically publish
+                # on completion: a speculative/retried twin attempt can
+                # never interleave bytes into the final shard
+                tmp = f"{path}.{os.getpid()}.tmp"
+                fh = open(tmp, "wb")
             for row in pdf[cols].itertuples(index=False):
                 feats = {}
                 for name, val in zip(cols, row):
@@ -238,6 +250,7 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
                 n += 1
         if fh is not None:
             fh.close()
+            os.replace(tmp, path)
             yield pd.DataFrame({"shard": [path], "n_records": [n]})
 
     return with_pid.mapInPandas(_write, schema="shard string, n_records long")

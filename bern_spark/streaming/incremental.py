@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bern_spark.datagen import SPECIES_STOPLIST
+from bern_spark.operators.extract import (
+    anchor_set_for,
+    lexicon_max_ngram,
+    make_anchored_candidates_udf,
+    with_canonical_text,
+)
 
 _DURATION_UNITS_MS = {
     "millisecond": 1, "milliseconds": 1, "ms": 1,
@@ -42,12 +48,6 @@ def _duration_ms(s: str) -> int:
     if len(parts) != 2 or parts[1].lower() not in _DURATION_UNITS_MS:
         raise ValueError(f"unsupported duration: {s!r}")
     return int(float(parts[0]) * _DURATION_UNITS_MS[parts[1].lower()])
-from bern_spark.operators.extract import (
-    anchor_set_for,
-    lexicon_max_ngram,
-    make_anchored_candidates_udf,
-    with_canonical_text,
-)
 
 
 def streaming_candidate_mentions(
@@ -170,15 +170,21 @@ def streaming_dedup_mentions(
         first = None
         max_ts_ms = None
         for pdf in pdf_iter:
-            if len(pdf):
-                # session tz is UTC (session.py), so pandas timestamps are
-                # epoch-consistent with the watermark clock
-                m = int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
-                max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
-            if seen == 0 and len(pdf):
+            if not len(pdf):
+                continue
+            # session tz is UTC (session.py), so pandas timestamps are
+            # epoch-consistent with the watermark clock
+            m = int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000)
+            max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
+            if seen == 0:
+                # scan EVERY Arrow chunk for the minimum — a group larger
+                # than one batch (~10k rows) can carry its true first
+                # occurrence in a later chunk
                 p = pdf.sort_values(["turn_idx", "start"]).iloc[0]
-                first = (int(p["turn_idx"]), int(p["start"]))
-                seen = 1
+                cand = (int(p["turn_idx"]), int(p["start"]))
+                first = cand if first is None else min(first, cand)
+        if first is not None:
+            seen = 1
         state.update((seen,))
         # TTL anchored on event time, floored at the watermark: anchoring
         # on the watermark alone would put first-batch timeouts at

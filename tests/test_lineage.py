@@ -133,3 +133,23 @@ def test_bucketed_stage_legacy_manifest_restarts(spark, tmp_path):
     assert out.count() == 100  # all buckets ran; legacy progress discarded
     man = store.read_manifest("bl")
     assert man["layout"] == "_bucket" and man["status"] == "complete"
+
+
+def test_bucketed_stage_invalidation_clears_stale_output(spark, tmp_path):
+    """Restart-from-scratch (layout/n_buckets/fingerprint drift) must
+    delete prior output: dynamic overwrite only replaces partitions
+    present in the new data, so a stale _bucket=N dir would otherwise
+    survive and duplicate rows (review finding: 143 rows where 100 exist)."""
+    store = LineageStore(str(tmp_path))
+    inp = spark.range(100).withColumn("k", F.col("id").cast("string"))
+    out = store.run_bucketed_stage(spark, "bi", inp, ["k"], lambda d: d, n_buckets=8)
+    assert out.count() == 100
+    out2 = store.run_bucketed_stage(spark, "bi", inp, ["k"], lambda d: d, n_buckets=4)
+    assert out2.count() == 100
+    assert out2.select("id").distinct().count() == 100
+    # fingerprint drift on same n_buckets also clears
+    out3 = store.run_bucketed_stage(
+        spark, "bi", inp, ["k"], lambda d: d, n_buckets=4, fingerprint="fpX"
+    )
+    assert out3.count() == 100
+    assert out3.select("id").distinct().count() == 100

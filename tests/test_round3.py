@@ -116,7 +116,6 @@ def test_extract_features_real_png(spark):
 
 def test_extract_features_real_non_png_raises(spark):
     from bern_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
-    from py4j.protocol import Py4JJavaError
 
     media = spark.createDataFrame(
         [("j1", "image", b"\xff\xd8\xff\xe0jpeg", ("image/jpeg", None, None, None))],
@@ -336,3 +335,44 @@ def test_tfrecord_numpy_scalars_classify_correctly():
     back = decode_example(encode_example(ex))
     assert back["f"] == [0.25, 1.75]
     assert back["i"] == [7, 300]
+
+
+def test_varint_negative_int64_is_ten_byte_twos_complement():
+    """Negative int64 features must encode as protobuf two's complement
+    (10-byte varint), not hang the shift loop (review finding)."""
+    from bern_spark.sources.tfrecord import decode_example, encode_example
+
+    back = decode_example(encode_example({"lbl": [-1, -100, 5]}))
+    # decoder yields unsigned; map back to signed int64 for comparison
+    signed = [v - (1 << 64) if v >= 1 << 63 else v for v in back["lbl"]]
+    assert signed == [-1, -100, 5]
+
+
+def test_frame_features_skips_empty_words():
+    """A word yielding zero WordPiece pieces (empty string) contributes
+    no label (reference run_ner.py:796-801); arrays stay aligned and
+    fixed-length (review finding: labels were one longer than tokens)."""
+    from bern_spark.functions.pytext import frame_features
+
+    f = frame_features(["a", "", "b"], ["B", "O", "O"], {
+        "[CLS]": 1, "[SEP]": 2, "[UNK]": 3, "a": 4, "b": 5,
+    }, max_seq_length=8)
+    assert all(len(f[k]) == 8 for k in f)
+    # tokens: [CLS] a b [SEP]; labels: [CLS] B O [SEP] — 'b' keeps ITS label
+    assert f["ntokens"][:4] == ["[CLS]", "a", "b", "[SEP]"]
+    assert f["label_ids"][:4] == [5, 1, 3, 6]
+
+
+def test_write_examples_refuses_nonempty_dir(spark, tmp_path):
+    from bern_spark.sources.tfrecord import write_examples
+
+    out = tmp_path / "shards"
+    out.mkdir()
+    (out / "part-00099.tfrecord").write_bytes(b"stale")
+    df = spark.createDataFrame(
+        [([1], [1], [0], [3])],
+        "input_ids array<int>, input_mask array<int>, "
+        "segment_ids array<int>, label_ids array<int>",
+    )
+    with pytest.raises(ValueError, match="not empty"):
+        write_examples(df, str(out))
