@@ -31,7 +31,16 @@ def read_pubtator(spark: SparkSession, path: str, filter_mutation_types: bool = 
     Span convention: input lines are exclusive-end already (tmVar offsets);
     kept as-is (SURVEY §1.2 fixes exclusive-end at every boundary).
     """
-    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    return parse_pubtator_lines(spark.read.text(path), filter_mutation_types)
+
+
+def parse_pubtator_lines(lines: DataFrame, filter_mutation_types: bool = True) -> DataFrame:
+    """The same scan over any one-column ``value`` relation of PubTator
+    lines — the shared kernel behind the file scan (S1), the string scan
+    (S2: one-row ``spark.read.text`` equivalence), and the remote fetch
+    (S4, sources/remote.py), which explodes HTTP response bodies into
+    exactly this shape."""
+    lines = lines.where(F.length(F.trim("value")) > 0)
 
     title = lines.where(F.col("value").rlike(r"^[^|\t]+\|t\|")).select(
         F.regexp_extract("value", r"^([^|\t]+)\|t\|", 1).alias("pmid"),

@@ -228,3 +228,86 @@ def test_bioc_xml_scan(spark, tmp_path):
     got = {r.conv_id: r.text for r in tr.collect()}
     assert got["123"] == "A title with c.1847G>T here. Abstract text with p.V600E variant."
     assert got["456"] == "No mutations here."
+
+
+# ---------------------------------------------------------------------------
+# S4: remote PubTator fetch (injectable transport; no network in container)
+# ---------------------------------------------------------------------------
+
+
+def _make_fake_transport():
+    """Deterministic stand-in for the NCBI export endpoint: serves one
+    PubTator doc per requested pmid (parsed off the real URL shape), with
+    an HTML entity to exercise the unescape branch; pmid 999 errors.
+    Returned as a NESTED function so cloudpickle ships it by value to
+    executors (a module-level test function pickles by reference and the
+    workers cannot import the test module)."""
+
+    def fake(url):
+        from urllib.parse import parse_qs, urlparse
+
+        pmids = parse_qs(urlparse(url).query)["pmids"][0].split(",")
+        if "999" in pmids:
+            raise ConnectionError("boom")
+        out = []
+        for p in pmids:
+            out.append(f"{p}|t|Title &amp; co for {p}.")
+            out.append(f"{p}|a|Abstract with p.V600E here.")
+            out.append(f"{p}\t14\t21\tp.V600E\tProteinMutation\tp.V600E")
+            out.append("")
+        return "\n".join(out)
+
+    return fake
+
+
+def test_fetch_pubtator_parses_like_file_scan(spark, tmp_path):
+    from bern_spark.sources.remote import fetch_pubtator
+
+    fake = _make_fake_transport()
+    pmids = spark.createDataFrame([("11",), ("22",)], ["pmid"])
+    docs, errors = fetch_pubtator(pmids, transport=fake)
+    assert errors.count() == 0
+    got = {r.pmid: r for r in docs.collect()}
+    assert set(got) == {"11", "22"}
+    assert got["11"].title == "Title & co for 11."  # html.unescape applied
+    assert got["22"].mutations[0].mention == "p.V600E"
+    assert got["22"].mutations[0].start == 14
+
+    # row-identical to the S1 file scan of the same body
+    body = fake("https://x/export/pubtator?pmids=11,22").replace("&amp;", "&")
+    f = tmp_path / "same.pubtator"
+    f.write_text(body, encoding="utf-8")
+    from bern_spark.sources.pubtator import read_pubtator
+
+    scanned = read_pubtator(spark, str(f))
+    assert docs.exceptAll(scanned).count() == 0
+    assert scanned.exceptAll(docs).count() == 0
+
+
+def test_fetch_pubtator_quarantines_failed_batches(spark):
+    from bern_spark.sources.remote import fetch_pubtator
+
+    # batch_size=1 => pmid 999's request fails alone; others succeed
+    pmids = spark.createDataFrame([("11",), ("999",), ("22",)], ["pmid"]).coalesce(1)
+    docs, errors = fetch_pubtator(
+        pmids, transport=_make_fake_transport(), batch_size=1
+    )
+    assert {r.pmid for r in docs.collect()} == {"11", "22"}
+    errs = errors.collect()
+    assert len(errs) == 1
+    assert errs[0].batch_pmids == ["999"]
+    assert "ConnectionError" in errs[0].error
+
+
+def test_fetch_pubtator_batches_requests(spark):
+    from bern_spark.sources.remote import fetch_pubtator_raw
+
+    fake = _make_fake_transport()
+
+    def spy(url):
+        return fake(url)
+
+    pmids = spark.createDataFrame([(str(i),) for i in range(5)], ["pmid"]).coalesce(1)
+    raw = fetch_pubtator_raw(pmids, transport=spy, batch_size=2).collect()
+    assert len(raw) == 3  # 2+2+1 — batched, not one URL per pmid
+    assert all(len(r.batch_pmids) <= 2 for r in raw)
