@@ -4,17 +4,30 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Methodology (A5 — the reference's own harness reports mean/std/min/max
+over tries, service_checker.py:174-182): each query gets
+$SPARK_GRAFT_BENCH_WARMUP discarded warmup runs (page cache + JIT + Arrow
+worker spin-up) then $SPARK_GRAFT_BENCH_REPEATS timed runs; the headline
+per-query number is the MEDIAN, with min/max/mean/std under
+"queries_stats". n=1 walls on a 200-stage job were measured 1.8x
+run-to-run (VERDICT r3) — single-shot numbers are noise.
+
 --scaling additionally runs the full ER pipeline at two parallelism
-levels (local[8] vs local[32]) on identical input and reports turns/sec
+levels (local[4] vs local[16]) on identical input and reports turns/sec
 at both plus scaling efficiency (the north rule's two-cluster-size
 criterion, evidenced per BASELINE.md since no real cluster exists here).
 Results land in the same JSON line under "scaling".
+
+--streaming runs the streaming path (stateless candidate matching ->
+stateful cross-batch dedup, availableNow trigger) over a ~1M-turn file
+stream and reports turns/sec under "streaming".
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -40,6 +53,27 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _timed(fn, warmup: int, repeats: int) -> dict:
+    """Run fn() warmup (discarded) + repeats (timed) times; A5-style
+    stats. Median is the headline: robust to one GC/compaction outlier."""
+    for _ in range(warmup):
+        fn()
+    samples = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        samples.append(round(time.time() - t0, 3))
+    return {
+        "median": round(statistics.median(samples), 3),
+        "mean": round(statistics.fmean(samples), 3),
+        "min": min(samples),
+        "max": max(samples),
+        "std": round(statistics.pstdev(samples), 3) if len(samples) > 1 else 0.0,
+        "n": len(samples),
+        "samples": samples,
+    }
+
+
 LOWDUP_DOCS = 50_000  # ~1% near-dup rate corpus for the banded-pairs bench
 
 
@@ -59,28 +93,34 @@ def _lowdup_dir(spark) -> str:
     return corpus
 
 
-def run_headline(sf_dir: str) -> dict[str, float]:
+def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
     from bern_spark.entry_queries import QUERIES
     from bern_spark.session import get_spark
 
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    stats: dict[str, dict] = {}
+
+    def bench_one(name: str, thunk):
+        s = _timed(thunk, warmup, repeats)
+        stats[name] = s
+        medians[name] = s["median"]
+
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        bench_one(name, lambda fn=fn: _force(fn(spark, sf_dir)))
     # engine-measuring variants: IVF ANN on the sf embeddings, banded
     # near-dup pairs on the controlled-dup-rate corpus (50k docs, ~1% dup)
-    t0 = time.time()
-    _force(QUERIES["ivf_topk"](spark, sf_dir))
-    times["ivf_topk"] = round(time.time() - t0, 3)
+    bench_one("ivf_topk", lambda: _force(QUERIES["ivf_topk"](spark, sf_dir)))
     ld = _lowdup_dir(spark)
-    t0 = time.time()
-    _force(QUERIES["dedup_minhash_pairs"](spark, ld))
-    times["dedup_minhash_pairs_lowdup50k"] = round(time.time() - t0, 3)
-    return times
+    bench_one(
+        f"dedup_minhash_pairs_lowdup{LOWDUP_DOCS // 1000}k",
+        lambda: _force(QUERIES["dedup_minhash_pairs"](spark, ld)),
+    )
+    return medians, stats
 
 
 _CORPUS_ALIASES = {60_000: "60k", 600_000: "600k", 6_000_000: "6m"}
@@ -131,6 +171,11 @@ def run_scaling(
         pq.read_metadata(f).num_rows for f in glob.glob(f"{corpus}/*.parquet")
     )
 
+    # SPARK_GRAFT_SCALE_SHUFFLE overrides the pinned shuffle-partition
+    # count (default 4*max(cores), identical for both legs — see below);
+    # used for the one-leg partitions-scale-with-cores check (BENCH.md).
+    shuffle_override = os.environ.get("SPARK_GRAFT_SCALE_SHUFFLE")
+
     out = {"corpus_turns": n_rows}
     for c in cores:
         active = SparkSession.getActiveSession()
@@ -144,7 +189,7 @@ def run_scaling(
         spark = get_spark(
             f"bench_scale_{c}",
             master=f"local[{c}]",
-            shuffle_partitions=4 * max(cores),
+            shuffle_partitions=int(shuffle_override) if shuffle_override else 4 * max(cores),
         )
         spark.sparkContext.setLogLevel("ERROR")
         from bern_spark.datagen_spark import scale_corpus
@@ -183,12 +228,69 @@ def run_scaling(
         spark.stop()
         if use_lineage:
             shutil.rmtree(ldir, ignore_errors=True)
-    lo, hi = f"local[{cores[0]}]", f"local[{cores[1]}]"
-    speedup = out[lo]["sec"] / out[hi]["sec"]
-    ideal = cores[1] / cores[0]
-    out["speedup"] = round(speedup, 3)
-    out["efficiency"] = round(speedup / ideal, 3)
+    if len(cores) >= 2:
+        lo, hi = f"local[{cores[0]}]", f"local[{cores[1]}]"
+        speedup = out[lo]["sec"] / out[hi]["sec"]
+        ideal = cores[1] / cores[0]
+        out["speedup"] = round(speedup, 3)
+        out["efficiency"] = round(speedup / ideal, 3)
     return out
+
+
+STREAM_CONVS = 200_000  # ~1M turns
+
+
+def run_streaming(n_convs: int = STREAM_CONVS) -> dict:
+    """Streaming-path throughput: file stream -> stateless candidate
+    matching (broadcast lexicon, anchored Arrow UDF) -> stateful
+    cross-batch dedup (applyInPandasWithState, event-time TTL), driven by
+    one availableNow trigger — the same code the correctness tests pin
+    (test_streaming_multimodal.py), measured at ~1M turns."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from bern_spark.datagen_spark import scale_corpus
+    from bern_spark.session import get_spark
+    from bern_spark.streaming.incremental import (
+        streaming_candidate_mentions,
+        streaming_dedup_mentions,
+    )
+
+    spark = get_spark("bench_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = f"/root/repo/.scratch/stream_corpus_{n_convs}"
+    if not glob.glob(f"{corpus}/_SUCCESS"):
+        tr, _, _ = scale_corpus(spark, n_convs, per_type=100)
+        tr.write.mode("overwrite").parquet(corpus)
+    n_rows = sum(
+        pq.read_metadata(f).num_rows for f in glob.glob(f"{corpus}/*.parquet")
+    )
+    _, lex, _ = scale_corpus(spark, 0, per_type=100)
+    schema = spark.read.parquet(corpus).schema
+    ckpt = f"/root/repo/.scratch/stream_bench_ckpt_{n_convs}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = spark.readStream.schema(schema).parquet(corpus)
+    mentions = streaming_candidate_mentions(stream, lex)
+    deduped = streaming_dedup_mentions(mentions)
+    t0 = time.time()
+    q = (
+        deduped.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "corpus_turns": n_rows,
+        "sec": round(dt, 2),
+        "turns_per_sec": round(n_rows / dt, 2),
+        "query": "streaming_candidate_mentions -> streaming_dedup_mentions",
+    }
 
 
 def main() -> None:
@@ -200,16 +302,29 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if "--scaling" in sys.argv:
-        sc = run_scaling(sf_dir)
+        # SPARK_GRAFT_SCALE_CORES="4,16" overrides the leg list; a single
+        # value runs one leg (used with SPARK_GRAFT_SCALE_SHUFFLE for the
+        # partitions-scale-with-cores check, BENCH.md)
+        cores = tuple(
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "4,16").split(",")
+        )
+        sc = run_scaling(sf_dir, cores=cores)
         result["scaling"] = sc
         result["queries"] = {}
         result["value"] = max(
             v["sec"] for k, v in sc.items() if isinstance(v, dict) and "sec" in v
         )
+    elif "--streaming" in sys.argv:
+        st = run_streaming()
+        result["streaming"] = st
+        result["queries"] = {}
+        result["value"] = st["sec"]
     else:
-        times = run_headline(sf_dir)
-        result["queries"] = times
-        result["value"] = round(sum(times.values()), 3)
+        medians, stats = run_headline(sf_dir)
+        result["queries"] = medians
+        result["queries_stats"] = stats
+        result["value"] = round(sum(medians.values()), 3)
     print(json.dumps(result))
 
 

@@ -259,6 +259,7 @@ def frame_features(
     vocab_ids: dict[str, int],
     max_seq_length: int = 256,
     unk_token: str = "[UNK]",
+    long_word_cap: tuple[int, int] | None = (20, 10),
 ) -> dict[str, list]:
     """W6: frame one sentence for a learned sequence model — the pure-
     kernel form of the reference's ``convert_single_example``
@@ -270,6 +271,12 @@ def frame_features(
     ids/mask/segments/labels with 0 and tokens with ``**NULL**`` to
     exactly ``max_seq_length`` (run_ner.py:824-831).
 
+    ``long_word_cap=(over, keep)`` is the P3 model-input truncation
+    (reference ops.py:50-53): a word longer than ``over`` chars feeds
+    only its first ``keep`` chars to the model — character offsets in the
+    source text are NOT affected (the reference tracks full-word spans
+    beside the capped word ids). ``None`` disables the cap.
+
     ``vocab_ids``: WordPiece vocab token -> id (also the membership set
     for :func:`wordpiece_tokenize`). Completes the §2.5 pre-stage for any
     learned-embedding scorer plugged into the pairwise scoring blend.
@@ -277,6 +284,8 @@ def frame_features(
     tokens: list[str] = []
     labels: list[str] = []
     for word, lab in zip(words, word_labels):
+        if long_word_cap and len(word) > long_word_cap[0]:
+            word = word[: long_word_cap[1]]
         pieces = wordpiece_tokenize(word, vocab_ids, unk_token)
         tokens.extend(pieces)
         # label only per emitted piece (reference run_ner.py:796-801): a

@@ -81,7 +81,19 @@ def connected_components(
 
     ``edges``: DataFrame with string columns (src, dst). Self-loops and
     duplicates tolerated.
+
+    ``checkpoint_every`` must be >= 1: each star round references its
+    input along ~4 plan branches, so without periodic lineage truncation
+    the logical plan grows ~16x PER ITERATION and the driver dies on plan
+    analysis long before any data-size limit — there is no valid
+    "never checkpoint" mode for this algorithm.
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            "checkpoint_every must be >= 1: the star-round plan tree grows "
+            "~16x per iteration without lineage truncation (driver OOM on "
+            "plan analysis)"
+        )
     spark = edges.sparkSession
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -106,13 +118,23 @@ def connected_components(
     sig = _sig(e)
     converged = False
     prev_e = e
+    # Predecessors a cache-only successor may still need for recompute:
+    # a localCheckpoint'd DataFrame stores its checkpoint data IN its
+    # cached blocks, so unpersisting one while a merely-persist()'d
+    # successor still depends on it makes the successor unrecoverable
+    # after block loss (lineage is truncated at the checkpoint). Releases
+    # are therefore deferred until the CURRENT edge set has itself been
+    # checkpointed — with the default checkpoint_every=1 that is every
+    # iteration (no behavior change).
+    pending: list[DataFrame] = []
     for i in range(max_iter):
         # the relational star round reads its input twice (min-aggregate
         # branch + join branch), so cache the large-star intermediate or
         # the small round would recompute it along both branches
         mid = _star_round(e, large=True).persist()
         e2 = _star_round(mid, large=False)
-        if checkpoint_every and i % checkpoint_every == 0:
+        checkpointed = i % checkpoint_every == 0
+        if checkpointed:
             e2 = e2.persist().localCheckpoint(eager=True)
         else:
             # persist BEFORE the signature action so e2 materializes into
@@ -123,7 +145,14 @@ def connected_components(
         sig2 = _sig(e2)  # materializes e2 either way
         mid.unpersist()
         if prev_e is not e2:
-            prev_e.unpersist()
+            pending.append(prev_e)
+        if checkpointed:
+            # e2's blocks are now self-contained checkpoint data: every
+            # earlier edge set is unreachable from its (truncated) lineage
+            for p in pending:
+                if p is not e2:
+                    p.unpersist()
+            pending = []
         prev_e = e = e2
         if sig2 == sig:
             converged = True

@@ -2,13 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample are Arrow-batched
-``mapInPandas`` stages. Decode is REAL for PNG images (pure-Python
-signature + IHDR parse with CRC validation, plus a byte-histogram
-feature — no libraries needed); every other format still raises
-NotImplementedError in this container (no image/audio libs), and
-``fake=True`` keeps the deterministic md5-driven stand-in for tests that
-only exercise the Spark-side plumbing (schemas, batch shapes,
-partitioning).
+``mapInPandas`` stages. Decode is REAL for PNG and JPEG images
+(signature + IHDR parse with CRC validation; SOFn marker scan) and WAV
+audio (RIFF/fmt/data parse → duration) — all pure-Python header parses
+from the public format specs, no libraries needed — plus a byte-histogram
+content feature. Video decode still raises NotImplementedError in this
+container (no codec libs); ``fake=True`` keeps the deterministic
+md5-driven stand-in for tests that only exercise the Spark-side plumbing
+(schemas, batch shapes, partitioning).
 """
 
 from __future__ import annotations
@@ -51,6 +52,8 @@ FEATURE_SCHEMA = T.StructType(
         # decoded dimensions — populated by the real decode path only
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # decoded audio length — real WAV decode path only
+        T.StructField("duration_ms", T.LongType()),
     ]
 )
 
@@ -96,17 +99,108 @@ def _decode_png(data: bytes) -> dict:
     }
 
 
+_JPEG_SOI = b"\xff\xd8"
+# SOFn markers carry frame dimensions; 0xC4/0xC8/0xCC in the 0xC0-0xCF
+# range are DHT/JPG/DAC tables, not frames (JPEG spec ITU-T T.81 §B.1.1.3)
+_JPEG_NON_SOF = frozenset({0xC4, 0xC8, 0xCC})
+
+
+def _decode_jpeg(data: bytes) -> dict:
+    """Scan JPEG marker segments for the first SOFn frame header
+    (ITU-T T.81 §B.2.2, public spec): precision, height, width, number
+    of components. Pure byte-walk, no codec."""
+    if len(data) < 4 or data[:2] != _JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI marker")
+    i = 2
+    n = len(data)
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"JPEG: marker desync at offset {i}")
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone, no length
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if i + 4 > n:
+            break
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if seg_len < 2:
+            raise ValueError("JPEG: segment length < 2")
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if seg_len < 8 or i + 10 > n:
+                raise ValueError("JPEG: truncated SOF segment")
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", data[i + 4 : i + 10]
+            )
+            return {
+                "width": width,
+                "height": height,
+                "bit_depth": precision,
+                "color_type": ncomp,
+            }
+        i += 2 + seg_len
+    raise ValueError("JPEG: no SOF frame header found")
+
+
+def _decode_wav(data: bytes) -> dict:
+    """Parse the RIFF/WAVE container (public Microsoft/IBM spec): the
+    ``fmt `` chunk's sample layout and the ``data`` chunk size give
+    channels, sample rate, and duration_ms. Chunks are word-aligned."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    i = 12
+    n = len(data)
+    byte_rate = channels = sample_rate = data_size = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        (csize,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt ":
+            if csize < 16 or i + 24 > n:
+                raise ValueError("WAV: truncated fmt chunk")
+            _fmt, channels, sample_rate, byte_rate = struct.unpack(
+                "<HHII", data[i + 8 : i + 20]
+            )
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize & 1)
+    if byte_rate is None or data_size is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    duration_ms = (data_size * 1000) // byte_rate if byte_rate else 0
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "duration_ms": duration_ms,
+    }
+
+
 def _decode_real(payload: bytes, kind: str) -> dict:
-    """Real decode: PNG images are parsed natively (pure Python); other
-    formats require media libraries not present in this environment and
-    raise — the remaining honest stub."""
+    """Real decode dispatch — uniform keys (width, height, duration_ms;
+    None where the modality has no such axis). PNG/JPEG images and WAV
+    audio parse natively (pure Python, public specs); video requires
+    codec libraries not present in this environment and raises — the
+    remaining honest stub."""
     data = bytes(payload or b"")
-    if kind == "image" and data[:8] == _PNG_MAGIC:
-        return _decode_png(data)
+    if kind == "image":
+        if data[:8] == _PNG_MAGIC:
+            d = _decode_png(data)
+        elif data[:2] == _JPEG_SOI:
+            d = _decode_jpeg(data)
+        else:
+            raise ValueError("image payload is neither PNG nor JPEG")
+        return {"width": d["width"], "height": d["height"], "duration_ms": None}
+    if kind == "audio":
+        if data[:4] == b"RIFF":
+            d = _decode_wav(data)
+            return {"width": None, "height": None, "duration_ms": d["duration_ms"]}
+        raise ValueError("audio payload is not RIFF/WAV")
     raise NotImplementedError(
-        f"decode for kind={kind!r} (non-PNG) requires image/audio "
-        "libraries not present in this environment; PNG decodes natively, "
-        "fake=True gives the deterministic test path for the rest"
+        f"decode for kind={kind!r} requires codec libraries not present "
+        "in this environment; PNG/JPEG/WAV decode natively, fake=True "
+        "gives the deterministic test path for the rest"
     )
 
 
@@ -127,24 +221,32 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow batches
     arrive as pandas DataFrames; one output row per media row.
 
-    ``fake=False``: the REAL path — per-row header decode (PNG natively;
-    anything else raises NotImplementedError) populating width/height,
-    plus the byte-histogram content feature. ``fake=True``: deterministic
-    md5 stand-in features, width/height null."""
+    ``fake=False``: the REAL path — per-row header decode (PNG/JPEG/WAV
+    natively; video raises NotImplementedError) populating
+    width/height/duration_ms, plus the byte-histogram content feature.
+    ``fake=True``: deterministic md5 stand-in features, decode columns
+    null."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if fake:
                 feats = pdf["payload"].map(lambda p: _fake_feature(bytes(p or b"")))
                 width = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
-                height = width
+                height = duration = width
             else:
                 decoded = [
                     _decode_real(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
                 ]
                 feats = pdf["payload"].map(_real_feature)
-                width = pd.Series([d["width"] for d in decoded], index=pdf.index)
-                height = pd.Series([d["height"] for d in decoded], index=pdf.index)
+                width = pd.Series(
+                    [d["width"] for d in decoded], index=pdf.index, dtype="object"
+                )
+                height = pd.Series(
+                    [d["height"] for d in decoded], index=pdf.index, dtype="object"
+                )
+                duration = pd.Series(
+                    [d["duration_ms"] for d in decoded], index=pdf.index, dtype="object"
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -153,6 +255,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "feature": feats,
                     "width": width,
                     "height": height,
+                    "duration_ms": duration,
                 }
             )
 

@@ -31,35 +31,41 @@ from bern_spark.operators.scoring import score_pairs
 # Bump when stage semantics change: part of the lineage fingerprint, so a
 # resumed store never replays stage parquet written by incompatible code
 # (the reference's hash-named temp files, server.py:384-396, made explicit).
-PIPELINE_VERSION = "3"
+PIPELINE_VERSION = "4"
 
 
 def _input_token(df: DataFrame | None) -> str:
-    """Cheap identity token for a pipeline input: the file snapshot when
-    the input is file-backed (captures appends/replacements — and, for
-    locally statable files, in-place rewrites via size+mtime), else the
-    canonicalized-plan hash (captures in-memory content/expr changes).
+    """Cheap identity token for a pipeline input, combining BOTH signals:
+
+    - the **file snapshot** when the input is file-backed (captures data
+      appends/replacements — and, for locally statable files, in-place
+      rewrites via size + nanosecond mtime), streamed through a running
+      sha256 so driver memory stays O(1) even at millions of files
+      (100 TB listings never build one giant string);
+    - the **canonicalized-plan hash** (``df.semanticHash()``), always —
+      files alone miss a changed filter/projection over the same parquet
+      (e.g. narrowing the lexicon relation), which must invalidate too.
+
     Driver-side metadata only — no Spark job. A false mismatch merely
-    recomputes; a false match would read stale parquet, so prefer the
-    file listing when one exists. (On Iceberg the snapshot id is the
-    right token; object-store URIs that can't be stat'd fall back to
-    names only.)"""
+    recomputes; a false match would read stale parquet, so both signals
+    are combined. (On Iceberg the snapshot id replaces the file listing;
+    object-store URIs that can't be stat'd contribute names only.)"""
+    import hashlib
     import os
 
     if df is None:
         return "none"
-    files = df.inputFiles()
-    if files:
-        toks = []
-        for f in sorted(files):
-            p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
-            try:
-                st = os.stat(p)
-                toks.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
-            except OSError:
-                toks.append(f)
-        return "files:" + ",".join(toks)
-    return f"plan:{df.semanticHash()}"
+    h = hashlib.sha256()
+    n = 0
+    for f in sorted(df.inputFiles()):
+        p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        except OSError:
+            h.update(f"{f}\n".encode())
+        n += 1
+    return f"files:{n}:{h.hexdigest()}:plan:{df.semanticHash()}"
 
 
 def pipeline_fingerprint(

@@ -37,12 +37,33 @@ def default_transport(url: str, timeout: float = 30.0) -> str:
         return r.read().decode("utf-8")
 
 
+# HTTP statuses worth retrying: throttling + transient server/gateway
+# errors. 4xx other than 429 are permanent (bad pmids, bad URL) and
+# quarantine immediately.
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+def _is_retryable(exc: Exception) -> bool:
+    """Transient network faults retry; permanent errors quarantine at
+    once. HTTPError carries a status; URLError/timeout/connection faults
+    are transport-level and always retryable."""
+    try:
+        from urllib.error import HTTPError, URLError
+    except ImportError:  # pragma: no cover
+        HTTPError = URLError = ()
+    if isinstance(exc, HTTPError):
+        return exc.code in RETRYABLE_STATUSES
+    return isinstance(exc, (URLError, TimeoutError, ConnectionError, OSError))
+
+
 def fetch_pubtator_raw(
     pmids: DataFrame,
     transport=None,
     batch_size: int = 100,
     out_format: str = "pubtator",
     unescape_html: bool = True,
+    max_retries: int = 2,
+    backoff_sec: float = 0.5,
 ) -> DataFrame:
     """One row per HTTP request: (batch_pmids array<string>, text string,
     error string). ``pmids`` is any relation with a ``pmid`` column; each
@@ -52,8 +73,15 @@ def fetch_pubtator_raw(
     mirrors the reference's escape_html branch (download.py:577-579, the
     §2.8 ``html.unescape`` surface). Errors are captured per request as
     rows — the P10 quarantine pattern — instead of the reference's
-    print-and-return-None."""
+    print-and-return-None.
+
+    Transient faults (429/5xx, timeouts, connection errors — see
+    ``_is_retryable``) get ``max_retries`` bounded exponential-backoff
+    retries (``backoff_sec * 2**attempt``, executor-local sleep) before
+    quarantining; permanent errors quarantine immediately. Quarantined
+    batches stay resubmittable via :func:`refetch`."""
     import html as _html
+    import time as _time
 
     tp = transport or default_transport
 
@@ -66,21 +94,21 @@ def fetch_pubtator_raw(
             for i in range(0, len(ids), batch_size):
                 chunk = ids[i : i + batch_size]
                 url = PUBTATOR_EXPORT_URL.format(fmt=out_format, pmids=",".join(chunk))
-                try:
-                    text = tp(url)
-                    if unescape_html:
-                        text = _html.unescape(text)
-                    rows.append(
-                        {"batch_pmids": chunk, "text": text, "error": None}
-                    )
-                except Exception as e:  # noqa: BLE001 - quarantined as data
-                    rows.append(
-                        {
-                            "batch_pmids": chunk,
-                            "text": None,
-                            "error": f"{type(e).__name__}: {e}",
-                        }
-                    )
+                text = err = None
+                for attempt in range(max_retries + 1):
+                    try:
+                        text = tp(url)
+                        err = None
+                        break
+                    except Exception as e:  # noqa: BLE001 - quarantined as data
+                        err = f"{type(e).__name__}: {e}"
+                        if attempt < max_retries and _is_retryable(e):
+                            _time.sleep(backoff_sec * (2**attempt))
+                        else:
+                            break
+                if err is None and unescape_html:
+                    text = _html.unescape(text)
+                rows.append({"batch_pmids": chunk, "text": text, "error": err})
             yield pd.DataFrame(rows, columns=["batch_pmids", "text", "error"])
 
     return pmids.select(F.col("pmid").cast("string")).mapInPandas(
@@ -94,19 +122,55 @@ def fetch_pubtator(
     batch_size: int = 100,
     filter_mutation_types: bool = True,
     unescape_html: bool = True,
+    max_retries: int = 2,
+    backoff_sec: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
     """Fetch + parse: returns (docs, errors). ``docs`` has the S1 scan
     schema (pmid, title, abstract, mutations) — fetched documents are
     row-identical to file-scanned ones because the response bodies feed
     the same ``parse_pubtator_lines`` kernel; ``errors`` is the
-    quarantine relation of failed requests."""
+    quarantine relation of failed requests (resubmit via
+    :func:`refetch`)."""
     from bern_spark.sources.pubtator import parse_pubtator_lines
 
     raw = fetch_pubtator_raw(
-        pmids, transport=transport, batch_size=batch_size, unescape_html=unescape_html
+        pmids,
+        transport=transport,
+        batch_size=batch_size,
+        unescape_html=unescape_html,
+        max_retries=max_retries,
+        backoff_sec=backoff_sec,
     )
     ok = raw.where(F.col("error").isNull())
-    lines = ok.select(F.explode(F.split("text", "\n")).alias("value"))
+    # a proxy/server may emit CRLF line endings; bare-\n splitting would
+    # leave a trailing \r corrupting the last tab field of every line
+    lines = ok.select(F.explode(F.split("text", r"\r?\n")).alias("value"))
     docs = parse_pubtator_lines(lines, filter_mutation_types=filter_mutation_types)
     errors = raw.where(F.col("error").isNotNull()).select("batch_pmids", "error")
     return docs, errors
+
+
+def refetch(
+    errors: DataFrame,
+    transport=None,
+    batch_size: int = 100,
+    filter_mutation_types: bool = True,
+    unescape_html: bool = True,
+    max_retries: int = 2,
+    backoff_sec: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Resubmit a quarantine relation (``batch_pmids``, ``error``) from a
+    previous :func:`fetch_pubtator` run: flattens the failed batches back
+    to a pmid relation and fetches again — a real crawl loops
+    ``docs, errs = refetch(errs)`` until ``errs`` is empty or stable.
+    Returns (docs, errors) like :func:`fetch_pubtator`."""
+    pmids = errors.select(F.explode("batch_pmids").alias("pmid")).dropDuplicates()
+    return fetch_pubtator(
+        pmids,
+        transport=transport,
+        batch_size=batch_size,
+        filter_mutation_types=filter_mutation_types,
+        unescape_html=unescape_html,
+        max_retries=max_retries,
+        backoff_sec=backoff_sec,
+    )

@@ -209,9 +209,31 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
 
     Returns the manifest DataFrame (shard, n_records) — an action on it
     (e.g. ``.collect()``) performs the write, mirroring how every Spark
-    sink is driven."""
+    sink is driven.
+
+    FILESYSTEM CONTRACT: shards are written with plain ``open()`` on the
+    executors and the directory is prepared with ``os`` calls on the
+    driver, so ``out_dir`` must be a POSIX path on a filesystem shared by
+    driver and executors (local mode, NFS, Lustre, a fuse-mounted object
+    store). Object-store / DFS URI schemes (``s3://``, ``hdfs://``, …)
+    are rejected up front — silently accepting one would fail at task
+    level mid-write with no schema-level hint. To target an object store
+    natively, stage the encoded records through a binary-column DataFrame
+    write instead."""
+    import re
+
     import pandas as pd
 
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", out_dir)
+    if m and m.group(1) != "file":
+        raise ValueError(
+            f"write_examples writes shards via POSIX open(); out_dir scheme "
+            f"{m.group(1)!r} is not a shared POSIX filesystem path. Use a "
+            "local/NFS/fuse-mounted path, or write the encoded records as a "
+            "binary column through df.write for object stores."
+        )
+    if out_dir.startswith("file://"):
+        out_dir = out_dir[7:]
     cols = feature_cols or NER_FEATURE_COLS
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         # shard names carry only the partition id; writing into a

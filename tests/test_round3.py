@@ -114,11 +114,13 @@ def test_extract_features_real_png(spark):
     assert row2.feature == row.feature
 
 
-def test_extract_features_real_non_png_raises(spark):
+def test_extract_features_real_video_raises(spark):
+    # JPEG/WAV decode landed in round 4 (test_round4.py); video is the
+    # remaining honest NotImplementedError stub
     from bern_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
 
     media = spark.createDataFrame(
-        [("j1", "image", b"\xff\xd8\xff\xe0jpeg", ("image/jpeg", None, None, None))],
+        [("v1", "video", b"\x00\x00\x00\x18ftypmp42", ("video/mp4", None, None, 1000))],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception) as ei:

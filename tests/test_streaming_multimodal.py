@@ -86,7 +86,11 @@ def test_multimodal_features_and_frames(spark):
 def test_decode_stub_raises():
     from bern_spark.operators.multimodal import _decode_real
 
+    # video is the remaining NotImplementedError stub (PNG/JPEG/WAV are
+    # real since round 4); an unrecognized image payload is a ValueError
     with pytest.raises(NotImplementedError):
+        _decode_real(b"x", "video")
+    with pytest.raises(ValueError):
         _decode_real(b"x", "image")
 
 
