@@ -237,15 +237,23 @@ def run_scaling(
     return out
 
 
-STREAM_CONVS = 200_000  # ~1M turns
+STREAM_CONVS = 200_000  # ~1M turns (JVM-state scale path)
+STREAM_PY_CONVS = 20_000  # ~100k turns (per-key Python-state custom op)
 
 
-def run_streaming(n_convs: int = STREAM_CONVS) -> dict:
-    """Streaming-path throughput: file stream -> stateless candidate
-    matching (broadcast lexicon, anchored Arrow UDF) -> stateful
-    cross-batch dedup (applyInPandasWithState, event-time TTL), driven by
-    one availableNow trigger — the same code the correctness tests pin
-    (test_streaming_multimodal.py), measured at ~1M turns."""
+def run_streaming() -> dict:
+    """Streaming-path throughput, availableNow trigger, same code the
+    correctness tests pin (test_streaming_multimodal.py):
+
+    - ``dedup_builtin``: stateless candidate matching (broadcast lexicon,
+      anchored Arrow UDF) -> dropDuplicatesWithinWatermark (JVM state) at
+      ~1M turns — the scale path.
+    - ``dedup_custom``: the applyInPandasWithState operator (event-time
+      TTL, deterministic first occurrence) at ~100k turns — it pays a
+      pandas group invocation per distinct key (~13 core-ms measured), so
+      it is benched at a corpus size that keeps the official run bounded;
+      its turns/sec is a per-key-cost number, not an engine ceiling.
+    """
     import glob
     import shutil
 
@@ -256,40 +264,52 @@ def run_streaming(n_convs: int = STREAM_CONVS) -> dict:
     from bern_spark.streaming.incremental import (
         streaming_candidate_mentions,
         streaming_dedup_mentions,
+        streaming_dedup_mentions_builtin,
     )
 
     spark = get_spark("bench_stream")
     spark.sparkContext.setLogLevel("ERROR")
-    corpus = f"/root/repo/.scratch/stream_corpus_{n_convs}"
-    if not glob.glob(f"{corpus}/_SUCCESS"):
-        tr, _, _ = scale_corpus(spark, n_convs, per_type=100)
-        tr.write.mode("overwrite").parquet(corpus)
-    n_rows = sum(
-        pq.read_metadata(f).num_rows for f in glob.glob(f"{corpus}/*.parquet")
-    )
     _, lex, _ = scale_corpus(spark, 0, per_type=100)
-    schema = spark.read.parquet(corpus).schema
-    ckpt = f"/root/repo/.scratch/stream_bench_ckpt_{n_convs}"
-    shutil.rmtree(ckpt, ignore_errors=True)
-    stream = spark.readStream.schema(schema).parquet(corpus)
-    mentions = streaming_candidate_mentions(stream, lex)
-    deduped = streaming_dedup_mentions(mentions)
-    t0 = time.time()
-    q = (
-        deduped.writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    dt = time.time() - t0
-    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def corpus_for(n_convs: int) -> tuple[str, int]:
+        corpus = f"/root/repo/.scratch/stream_corpus_{n_convs}"
+        if not glob.glob(f"{corpus}/_SUCCESS"):
+            tr, _, _ = scale_corpus(spark, n_convs, per_type=100)
+            tr.write.mode("overwrite").parquet(corpus)
+        n = sum(
+            pq.read_metadata(f).num_rows for f in glob.glob(f"{corpus}/*.parquet")
+        )
+        return corpus, n
+
+    def drive(n_convs: int, dedup_fn, tag: str) -> dict:
+        corpus, n_rows = corpus_for(n_convs)
+        schema = spark.read.parquet(corpus).schema
+        ckpt = f"/root/repo/.scratch/stream_bench_ckpt_{tag}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = spark.readStream.schema(schema).parquet(corpus)
+        deduped = dedup_fn(streaming_candidate_mentions(stream, lex))
+        t0 = time.time()
+        q = (
+            deduped.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return {
+            "corpus_turns": n_rows,
+            "sec": round(dt, 2),
+            "turns_per_sec": round(n_rows / dt, 2),
+        }
+
     return {
-        "corpus_turns": n_rows,
-        "sec": round(dt, 2),
-        "turns_per_sec": round(n_rows / dt, 2),
-        "query": "streaming_candidate_mentions -> streaming_dedup_mentions",
+        "dedup_builtin": drive(
+            STREAM_CONVS, streaming_dedup_mentions_builtin, "builtin"
+        ),
+        "dedup_custom": drive(STREAM_PY_CONVS, streaming_dedup_mentions, "custom"),
     }
 
 
@@ -319,12 +339,19 @@ def main() -> None:
         st = run_streaming()
         result["streaming"] = st
         result["queries"] = {}
-        result["value"] = st["sec"]
+        result["value"] = st["dedup_builtin"]["sec"]
     else:
         medians, stats = run_headline(sf_dir)
         result["queries"] = medians
         result["queries_stats"] = stats
         result["value"] = round(sum(medians.values()), 3)
+        try:
+            # streaming-path throughput rides along in the official line
+            # (corpus cached after first run); failures must not void the
+            # batch numbers
+            result["streaming"] = run_streaming()
+        except Exception as e:  # noqa: BLE001
+            result["streaming"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result))
 
 

@@ -219,6 +219,37 @@ def streaming_dedup_mentions(
     )
 
 
+def streaming_dedup_mentions_builtin(mentions_stream: DataFrame) -> DataFrame:
+    """JVM-state variant of :func:`streaming_dedup_mentions` — the scale
+    path. ``dropDuplicatesWithinWatermark`` keeps dedup state entirely in
+    the JVM state store (no per-key Python invocation), bounded by the
+    upstream watermark horizon: same bounded-state / re-emit-after-expiry
+    semantics as the custom operator.
+
+    Spark-first tradeoff, disclosed: which occurrence of a key survives
+    within one micro-batch is arrival-order (partition-dependent), not
+    the custom operator's deterministic min-(turn_idx, start) — use the
+    custom op when the representative row must be deterministic, this
+    one when it only matters THAT a key is emitted once. The difference
+    is the per-key cost: the custom op pays a pandas group invocation
+    per key (~13 core-ms measured — 2.4k turns/s at 1M distinct keys);
+    this one runs at engine speed (~126k turns/s on the same corpus,
+    BENCH.md round 4).
+
+    Requires a watermark on ``ts`` upstream (streaming_candidate_mentions
+    sets it); the watermark delay IS the dedup horizon.
+    """
+    return mentions_stream.dropDuplicatesWithinWatermark(
+        ["conv_id", "mention", "etype"]
+    ).select(
+        "conv_id",
+        "mention",
+        "etype",
+        F.col("turn_idx").alias("first_turn_idx"),
+        F.col("start").alias("first_start"),
+    )
+
+
 def windowed_mention_counts(mentions_stream: DataFrame, window: str = "10 minutes") -> DataFrame:
     """Event-time tumbling counts per etype over the streaming mentions."""
     return (

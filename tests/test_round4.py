@@ -299,6 +299,76 @@ def test_frame_features_caps_long_words():
 
 
 # ---------------------------------------------------------------------------
+# JVM-state streaming dedup (dropDuplicatesWithinWatermark) — the scale
+# path beside the per-key-Python custom operator (~13 core-ms/key)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_builtin_across_batches(spark, tmp_path):
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from bern_spark.streaming.incremental import (
+        streaming_candidate_mentions,
+        streaming_dedup_mentions_builtin,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lex = spark.createDataFrame([("drug", "aspirin", 0.8)], ["etype", "surface", "weight"])
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        d = streaming_dedup_mentions_builtin(streaming_candidate_mentions(stream, lex))
+        q = (
+            d.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    t = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("c1", 0, "user", "take aspirin", None, t)], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    # repeat key in c1 must be suppressed by JVM state restored from the
+    # checkpoint; first occurrence in c2 must emit
+    spark.createDataFrame(
+        [
+            ("c1", 5, "user", "more aspirin", None, t),
+            ("c2", 0, "user", "aspirin again", None, t),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r.conv_id, r.mention) for r in rows}
+    assert len(rows) == 2, rows
+    assert got == {("c1", "aspirin"), ("c2", "aspirin")}
+    # schema parity with the custom operator
+    assert set(spark.read.parquet(out).columns) == {
+        "conv_id", "mention", "etype", "first_turn_idx", "first_start"
+    }
+
+
+# ---------------------------------------------------------------------------
 # er_pipeline wall budget (judge r3 item 10): a future accidental O(n^2)
 # shows up here, not in next round's bench archaeology
 # ---------------------------------------------------------------------------
