@@ -14,6 +14,15 @@ that driver program. Cluster usage:
         --lineage-dir s3://.../lineage \
         --shuffle-partitions 4096
 
+Shuffle-partition guidance, measured (BENCH.md round 4): partition
+count must track per-stage shuffle VOLUME, not just core count. At 30M
+turns on 16 cores, 4x cores (64) beat 16x (256) — reduce stages were
+fixed-cost-bound and extra tasks only added scheduling overhead; at
+300M turns the same 16x-cores setting cut reduce-stage walls 30-35%
+(multi-wave straggler amortization). Rule of thumb: start at ~4x total
+cores, raise toward 200-500 MB of shuffle data per partition as the
+corpus grows, and let AQE coalescing trim the small stages either way.
+
 The session comes from ``SparkSession.builder.getOrCreate()`` so all
 cluster submission configs (executors, memory, dynamic allocation) pass
 through spark-submit untouched; the engine-required settings (AQE skew

@@ -124,13 +124,20 @@ def fetch_pubtator(
     unescape_html: bool = True,
     max_retries: int = 2,
     backoff_sec: float = 0.5,
+    cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fetch + parse: returns (docs, errors). ``docs`` has the S1 scan
     schema (pmid, title, abstract, mutations) — fetched documents are
     row-identical to file-scanned ones because the response bodies feed
     the same ``parse_pubtator_lines`` kernel; ``errors`` is the
     quarantine relation of failed requests (resubmit via
-    :func:`refetch`)."""
+    :func:`refetch`).
+
+    ``cache=True`` persists the raw response relation so separate
+    actions on docs and errors evaluate the HTTP fetch ONCE — without
+    it, each downstream action re-issues the GETs (side-effecting
+    lineage; fine for a single-action pipeline, wrong for a crawl
+    loop)."""
     from bern_spark.sources.pubtator import parse_pubtator_lines
 
     raw = fetch_pubtator_raw(
@@ -141,6 +148,8 @@ def fetch_pubtator(
         max_retries=max_retries,
         backoff_sec=backoff_sec,
     )
+    if cache:
+        raw = raw.persist()
     ok = raw.where(F.col("error").isNull())
     # a proxy/server may emit CRLF line endings; bare-\n splitting would
     # leave a trailing \r corrupting the last tab field of every line
@@ -158,11 +167,13 @@ def refetch(
     unescape_html: bool = True,
     max_retries: int = 2,
     backoff_sec: float = 0.5,
+    cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Resubmit a quarantine relation (``batch_pmids``, ``error``) from a
     previous :func:`fetch_pubtator` run: flattens the failed batches back
     to a pmid relation and fetches again — a real crawl loops
-    ``docs, errs = refetch(errs)`` until ``errs`` is empty or stable.
+    ``docs, errs = refetch(errs)`` until ``errs`` is empty or stable
+    (or uses :func:`crawl_pubtator`, which does exactly that).
     Returns (docs, errors) like :func:`fetch_pubtator`."""
     pmids = errors.select(F.explode("batch_pmids").alias("pmid")).dropDuplicates()
     return fetch_pubtator(
@@ -173,4 +184,37 @@ def refetch(
         unescape_html=unescape_html,
         max_retries=max_retries,
         backoff_sec=backoff_sec,
+        cache=cache,
     )
+
+
+def crawl_pubtator(
+    pmids: DataFrame,
+    transport=None,
+    batch_size: int = 100,
+    rounds: int = 3,
+    **fetch_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """The full crawl loop: fetch, then resubmit quarantined batches up
+    to ``rounds - 1`` more times, unioning recovered documents. Returns
+    (docs, errors) where ``errors`` holds only batches still failing
+    after every round — the bounded-resubmission pattern a production
+    crawl runs (the reference just prints and drops, download.py:573-575).
+
+    Every round fetches with ``cache=True`` (the HTTP relation persists),
+    so the per-round isEmpty probe and every downstream action evaluate
+    each GET exactly once; a round with zero failures short-circuits.
+    Rounds are bounded driver-side jobs, not an unbounded recursive
+    plan."""
+    fetch_kwargs["cache"] = True
+    docs, errors = fetch_pubtator(
+        pmids, transport=transport, batch_size=batch_size, **fetch_kwargs
+    )
+    for _ in range(max(0, rounds - 1)):
+        if errors.isEmpty():
+            break
+        more, errors = refetch(
+            errors, transport=transport, batch_size=batch_size, **fetch_kwargs
+        )
+        docs = docs.unionByName(more)
+    return docs, errors

@@ -149,6 +149,54 @@ def test_refetch_resubmits_quarantined_batches(spark):
     assert len(rows) == 1 and rows[0]["pmid"] == "1001"
 
 
+def test_fetch_cache_evaluates_gets_exactly_once(spark, tmp_path):
+    """cache=True persists the HTTP relation: separate actions on docs
+    and errors must not re-issue GETs (side-effecting lineage)."""
+    from bern_spark.sources.remote import fetch_pubtator
+
+    marker = str(tmp_path / "gets")
+
+    def counting(url, _m=marker):
+        with open(_m, "a") as f:
+            f.write("x")
+        return _DOC
+
+    pmids = spark.createDataFrame([("1001",)], ["pmid"]).coalesce(1)
+    docs, errors = fetch_pubtator(pmids, transport=counting, cache=True)
+    assert errors.count() == 0
+    assert docs.count() == 1
+    assert docs.collect()[0]["pmid"] == "1001"
+    with open(marker) as f:
+        assert len(f.read()) == 1  # three actions, one GET
+
+
+def test_crawl_pubtator_recovers_with_bounded_rounds(spark, tmp_path):
+    """A transport that is down for the first two rounds recovers on the
+    third: crawl_pubtator resubmits quarantined batches and returns the
+    recovered docs with an empty final quarantine."""
+    from bern_spark.sources.remote import crawl_pubtator
+
+    marker = str(tmp_path / "gets")
+
+    def eventually_up(url, _m=marker):
+        with open(_m, "a") as f:
+            f.write("x")
+        with open(_m) as f:
+            n = len(f.read())
+        if n <= 2:
+            raise ConnectionError("down")
+        return _DOC
+
+    pmids = spark.createDataFrame([("1001",)], ["pmid"]).coalesce(1)
+    docs, errors = crawl_pubtator(
+        pmids, transport=eventually_up, rounds=3, max_retries=0, backoff_sec=0.0
+    )
+    assert errors.isEmpty()
+    assert docs.count() == 1
+    with open(marker) as f:
+        assert len(f.read()) == 3  # one GET per round, no lineage replays
+
+
 def test_fetch_handles_crlf_bodies(spark):
     """A proxy returning CRLF line endings must parse identically to LF
     (ADVICE r3: trailing \\r corrupted the last tab field)."""
@@ -208,6 +256,52 @@ def test_decode_wav_duration():
     meta = _decode_wav(make_wav(32000))
     assert meta["duration_ms"] == 2000
     assert meta["sample_rate"] == 8000 and meta["channels"] == 1
+
+
+def test_decode_jpeg_dimensions_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bern_spark.operators.multimodal import _decode_jpeg
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        prec=st.sampled_from([8, 12]),
+        ncomp=st.sampled_from([1, 3, 4]),
+    )
+    def check(w, h, prec, ncomp):
+        meta = _decode_jpeg(make_jpeg(w, h, precision=prec, ncomp=ncomp))
+        assert meta == {
+            "width": w, "height": h, "bit_depth": prec, "color_type": ncomp
+        }
+
+    check()
+
+
+def test_decode_wav_duration_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bern_spark.operators.multimodal import _decode_wav
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        nbytes=st.integers(0, 1 << 20),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        channels=st.sampled_from([1, 2]),
+        bits=st.sampled_from([8, 16, 24, 32]),
+    )
+    def check(nbytes, rate, channels, bits):
+        byte_rate = rate * channels * bits // 8
+        meta = _decode_wav(
+            make_wav(nbytes, sample_rate=rate, channels=channels, bits=bits)
+        )
+        assert meta["duration_ms"] == (nbytes * 1000) // byte_rate
+        assert meta["sample_rate"] == rate and meta["channels"] == channels
+
+    check()
 
 
 def test_decode_wav_rejects_missing_fmt():
@@ -366,6 +460,38 @@ def test_streaming_dedup_builtin_across_batches(spark, tmp_path):
     assert set(spark.read.parquet(out).columns) == {
         "conv_id", "mention", "etype", "first_turn_idx", "first_start"
     }
+
+
+def test_streaming_dedup_builtin_state_is_jvm_side(spark, tmp_path):
+    """The scale-path dedup must keep its state op in the JVM: the
+    analyzed streaming plan shows DeduplicateWithinWatermark and the only
+    Python in the pipeline is the Arrow-batched candidate UDF (no
+    FlatMapGroupsInPandasWithState, no row-python)."""
+    from pyspark.sql import types as T
+
+    from bern_spark.streaming.incremental import (
+        streaming_candidate_mentions,
+        streaming_dedup_mentions_builtin,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame([], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    lex = spark.createDataFrame([("drug", "aspirin", 0.8)], ["etype", "surface", "weight"])
+    d = streaming_dedup_mentions_builtin(streaming_candidate_mentions(stream, lex))
+    analyzed = d._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in analyzed, analyzed
+    assert "FlatMapGroupsInPandasWithState" not in analyzed, analyzed
 
 
 # ---------------------------------------------------------------------------
