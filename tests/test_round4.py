@@ -495,6 +495,83 @@ def test_streaming_dedup_builtin_state_is_jvm_side(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Pipeline edge probes (verify-skill checklist): empty input, P4-guarded
+# turn, duplicate identical turns
+# ---------------------------------------------------------------------------
+
+
+def _mk_transcripts(spark, rows):
+    import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(c, i, "user", txt, None, t) for c, i, txt in rows], schema
+    )
+
+
+def test_pipeline_empty_input(spark, dfs, dicts):
+    from bern_spark.pipeline import resolve_entities
+
+    empty = _mk_transcripts(spark, [])
+    res = resolve_entities(empty, dfs["lexicon"], dicts)
+    assert res["mentions"].count() == 0
+    assert res["annotations"].count() == 0
+
+
+def test_pipeline_no_ascii_turn_yields_empty_denotations(spark, dfs, dicts):
+    """A turn with no ASCII letters (the P4 guard surface) must survive
+    to the annotations output with zero denotations, not crash or drop
+    the turn row."""
+    from pyspark.sql import functions as F
+
+    from bern_spark.pipeline import resolve_entities
+
+    tr = _mk_transcripts(
+        spark,
+        [("cx", 0, "1234 %% 5678 §§"), ("cx", 1, "take aspirin")],
+    )
+    res = resolve_entities(tr, dfs["lexicon"], dicts)
+    ann = {
+        (r.conv_id, r.turn_idx): r.denotations
+        for r in res["annotations"].collect()
+    }
+    assert ann[("cx", 0)] == []
+    assert res["mentions"].where(F.col("turn_idx") == 0).count() == 0
+
+
+def test_pipeline_duplicate_turns_same_oid_same_cluster(spark, dfs, dicts):
+    """Identical text in different conversations must normalize to the
+    same oid AND land in the same cluster (distinct-surface pairing means
+    dedup by construction)."""
+    from pyspark.sql import functions as F
+
+    from bern_spark.pipeline import resolve_entities
+
+    surf = (
+        dfs["lexicon"].where(F.col("etype") == "drug").select("surface").first()["surface"]
+    )
+    text = f"patient took {surf} today"
+    tr = _mk_transcripts(spark, [("ca", 0, text), ("cb", 7, text)])
+    res = resolve_entities(tr, dfs["lexicon"], dicts)
+    m = res["mentions"].where(F.col("mention") == surf).collect()
+    assert len(m) == 2
+    assert len({r.oid for r in m}) == 1
+    assert len({r.cluster_id for r in m}) == 1
+
+
+# ---------------------------------------------------------------------------
 # er_pipeline wall budget (judge r3 item 10): a future accidental O(n^2)
 # shows up here, not in next round's bench archaeology
 # ---------------------------------------------------------------------------
