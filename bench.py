@@ -97,8 +97,8 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
     from bern_spark.entry_queries import QUERIES
     from bern_spark.session import get_spark
 
-    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     medians: dict[str, float] = {}

@@ -158,6 +158,16 @@ def connected_components(
             converged = True
             break
         sig = sig2
+    if pending:
+        # loop exited on a non-checkpoint iteration (convergence or
+        # max_iter with checkpoint_every > 1): checkpoint the final edge
+        # set so the deferred predecessors can be released without
+        # breaking its recompute chain — otherwise up to
+        # checkpoint_every-1 full edge-set caches leak past the call
+        e = e.localCheckpoint(eager=True)
+        for p in pending:
+            p.unpersist()
+        pending = []
     if not converged:
         # returning silently would yield partially merged clusters
         warnings.warn(

@@ -34,6 +34,20 @@ from bern_spark.operators.scoring import score_pairs
 PIPELINE_VERSION = "4"
 
 
+def _plan_token(df: DataFrame) -> str:
+    """Process-stable hash of the canonicalized logical plan. NOT
+    ``df.semanticHash()``: that is the JVM hashCode of the canonicalized
+    plan and differs between driver processes for the identical read
+    (verified: two processes, same parquet read, hashes -544669217 vs
+    -48765258), which would defeat cross-restart resume. The
+    canonicalized plan's *string* rendering (exprIds normalized to
+    positions) is identical across processes for the same plan shape."""
+    import hashlib
+
+    s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
 def _input_token(df: DataFrame | None) -> str:
     """Cheap identity token for a pipeline input, combining BOTH signals:
 
@@ -42,9 +56,15 @@ def _input_token(df: DataFrame | None) -> str:
       rewrites via size + nanosecond mtime), streamed through a running
       sha256 so driver memory stays O(1) even at millions of files
       (100 TB listings never build one giant string);
-    - the **canonicalized-plan hash** (``df.semanticHash()``), always —
+    - the **canonicalized-plan string hash** (:func:`_plan_token`) —
       files alone miss a changed filter/projection over the same parquet
       (e.g. narrowing the lexicon relation), which must invalidate too.
+      The string form is stable across driver processes, so a restarted
+      job with the unchanged plan resumes (semanticHash would not be).
+
+    Purely in-memory inputs (no files) fall back to ``semanticHash``,
+    which covers the embedded data: such inputs live only inside one
+    process, so cross-process stability is moot there.
 
     Driver-side metadata only — no Spark job. A false mismatch merely
     recomputes; a false match would read stale parquet, so both signals
@@ -65,7 +85,9 @@ def _input_token(df: DataFrame | None) -> str:
         except OSError:
             h.update(f"{f}\n".encode())
         n += 1
-    return f"files:{n}:{h.hexdigest()}:plan:{df.semanticHash()}"
+    if n == 0:
+        return f"plan:{df.semanticHash()}"
+    return f"files:{n}:{h.hexdigest()}:plan:{_plan_token(df)}"
 
 
 def pipeline_fingerprint(

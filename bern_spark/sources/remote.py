@@ -98,16 +98,19 @@ def fetch_pubtator_raw(
                 for attempt in range(max_retries + 1):
                     try:
                         text = tp(url)
+                        if unescape_html:
+                            # inside the try: a transport returning a
+                            # non-string must quarantine, not kill the task
+                            text = _html.unescape(text)
                         err = None
                         break
                     except Exception as e:  # noqa: BLE001 - quarantined as data
                         err = f"{type(e).__name__}: {e}"
+                        text = None
                         if attempt < max_retries and _is_retryable(e):
                             _time.sleep(backoff_sec * (2**attempt))
                         else:
                             break
-                if err is None and unescape_html:
-                    text = _html.unescape(text)
                 rows.append({"batch_pmids": chunk, "text": text, "error": err})
             yield pd.DataFrame(rows, columns=["batch_pmids", "text", "error"])
 
@@ -136,8 +139,11 @@ def fetch_pubtator(
     ``cache=True`` persists the raw response relation so separate
     actions on docs and errors evaluate the HTTP fetch ONCE — without
     it, each downstream action re-issues the GETs (side-effecting
-    lineage; fine for a single-action pipeline, wrong for a crawl
-    loop)."""
+    lineage; fine for a single-action pipeline). The cached relation
+    (full response bodies) lives until the caller unpersists it or the
+    session ends — :func:`crawl_pubtator` instead checkpoints the parsed
+    rows and releases bodies per round; prefer it for multi-round
+    workflows."""
     from bern_spark.sources.pubtator import parse_pubtator_lines
 
     raw = fetch_pubtator_raw(
@@ -201,20 +207,41 @@ def crawl_pubtator(
     after every round — the bounded-resubmission pattern a production
     crawl runs (the reference just prints and drops, download.py:573-575).
 
-    Every round fetches with ``cache=True`` (the HTTP relation persists),
-    so the per-round isEmpty probe and every downstream action evaluate
-    each GET exactly once; a round with zero failures short-circuits.
-    Rounds are bounded driver-side jobs, not an unbounded recursive
-    plan."""
-    fetch_kwargs["cache"] = True
-    docs, errors = fetch_pubtator(
-        pmids, transport=transport, batch_size=batch_size, **fetch_kwargs
-    )
+    Memory + exactly-once contract: each round's PARSED docs and
+    quarantine rows (the actual results, small) are eagerly
+    ``localCheckpoint``-ed and the round's raw HTTP response relation is
+    unpersisted immediately — response bodies never outlive their round,
+    no cached relation leaks past the call, and every GET runs exactly
+    once (downstream actions read the checkpointed rows, never the
+    side-effecting fetch lineage). Rounds are bounded driver-side jobs,
+    not an unbounded recursive plan."""
+    from bern_spark.sources.pubtator import parse_pubtator_lines
+
+    filter_mut = fetch_kwargs.pop("filter_mutation_types", True)
+    fetch_kwargs.pop("cache", None)  # superseded by per-round checkpoints
+
+    def _round(ids_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        raw = fetch_pubtator_raw(
+            ids_df, transport=transport, batch_size=batch_size, **fetch_kwargs
+        ).persist()
+        ok = raw.where(F.col("error").isNull())
+        lines = ok.select(F.explode(F.split("text", r"\r?\n")).alias("value"))
+        docs = parse_pubtator_lines(
+            lines, filter_mutation_types=filter_mut
+        ).localCheckpoint(eager=True)
+        errs = (
+            raw.where(F.col("error").isNotNull())
+            .select("batch_pmids", "error")
+            .localCheckpoint(eager=True)
+        )
+        raw.unpersist()
+        return docs, errs
+
+    docs, errors = _round(pmids)
     for _ in range(max(0, rounds - 1)):
         if errors.isEmpty():
             break
-        more, errors = refetch(
-            errors, transport=transport, batch_size=batch_size, **fetch_kwargs
-        )
+        ids = errors.select(F.explode("batch_pmids").alias("pmid")).dropDuplicates()
+        more, errors = _round(ids)
         docs = docs.unionByName(more)
     return docs, errors

@@ -224,7 +224,10 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
 
     import pandas as pd
 
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", out_dir)
+    # Hadoop/Spark emit both file:///p and the single-slash file:/p form,
+    # so match any "scheme:" prefix, not just "scheme://" — otherwise
+    # file:/p (or s3:/p) would silently create a literal './file:' dir
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]{1,}):", out_dir)
     if m and m.group(1) != "file":
         raise ValueError(
             f"write_examples writes shards via POSIX open(); out_dir scheme "
@@ -234,6 +237,8 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
         )
     if out_dir.startswith("file://"):
         out_dir = out_dir[7:]
+    elif out_dir.startswith("file:"):
+        out_dir = out_dir[5:]
     cols = feature_cols or NER_FEATURE_COLS
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         # shard names carry only the partition id; writing into a

@@ -43,6 +43,41 @@ def test_input_token_sees_same_second_rewrite(spark, tmp_path):
     assert t1 != t2
 
 
+def test_input_token_stable_across_driver_processes(spark, tmp_path):
+    """Cross-restart resume requires the fingerprint to be identical in
+    a NEW driver process for the unchanged input (code-review r4:
+    df.semanticHash() is a JVM hashCode and differs per process; the
+    canonicalized-plan STRING hash does not)."""
+    import subprocess
+    import sys
+
+    p = str(tmp_path / "t")
+    spark.range(50).withColumn("v", F.col("id") * 2).write.parquet(p)
+
+    prog = (
+        "import os;"
+        "os.environ['SPARK_GRAFT_CPUS']='2';"
+        "os.environ['SPARK_GRAFT_SHUFFLE_PARTITIONS']='2';"
+        "from bern_spark.session import get_spark;"
+        "from bern_spark.pipeline import _input_token;"
+        "from pyspark.sql import functions as F;"
+        "s=get_spark('fp'); s.sparkContext.setLogLevel('ERROR');"
+        f"df=s.read.parquet({p!r}).where(F.col('id')>5);"
+        "print('TOKEN='+_input_token(df))"
+    )
+    toks = []
+    for _ in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("TOKEN=")]
+        assert lines, out.stderr[-2000:]
+        toks.append(lines[0])
+    assert toks[0] == toks[1]
+
+
 def test_input_token_constant_memory_shape(spark, tmp_path):
     """The token is a fixed-size digest, not a concatenated listing."""
     from bern_spark.pipeline import _input_token
@@ -60,7 +95,7 @@ def test_input_token_constant_memory_shape(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("every", [2, 3])
+@pytest.mark.parametrize("every", [2, 3, 5])
 def test_cc_correct_with_non_default_checkpointing(spark, every):
     from bern_spark.operators.cc import connected_components
 
@@ -130,6 +165,20 @@ def test_fetch_permanent_error_quarantines_without_retry(spark, tmp_path):
     assert len(errs) == 1 and "ValueError" in errs[0]["error"]
     with open(marker) as f:
         assert len(f.read()) == 1  # non-retryable: exactly 1 attempt, no retries
+
+
+def test_fetch_quarantines_non_string_transport_result(spark):
+    """A transport returning bytes must produce a quarantine row (the
+    P10 contract), not crash the task in html.unescape (code-review r4)."""
+    from bern_spark.sources.remote import fetch_pubtator
+
+    pmids = spark.createDataFrame([("1001",)], ["pmid"]).coalesce(1)
+    docs, errors = fetch_pubtator(
+        pmids, transport=lambda u: _DOC.encode(), max_retries=0, backoff_sec=0.0
+    )
+    errs = errors.collect()
+    assert len(errs) == 1 and "TypeError" in errs[0]["error"]
+    assert docs.count() == 0
 
 
 def test_refetch_resubmits_quarantined_batches(spark):
@@ -347,6 +396,26 @@ def test_write_examples_rejects_object_store_scheme(spark):
     for uri in ("s3://bucket/out", "hdfs://nn/out", "gs://b/out", "abfs://c@a/out"):
         with pytest.raises(ValueError, match="POSIX"):
             write_examples(df, uri)
+
+
+def test_write_examples_single_slash_uri_forms(spark, tmp_path):
+    """Hadoop emits file:/p (single slash); s3:/p must also reject —
+    the guard can't require '://' (code-review r4)."""
+    from bern_spark.sources.tfrecord import write_examples
+
+    df = spark.createDataFrame(
+        [([1], [1], [0], [3])],
+        "input_ids array<int>, input_mask array<int>, "
+        "segment_ids array<int>, label_ids array<int>",
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="POSIX"):
+        write_examples(df, "s3:/bucket/out")
+    out = tmp_path / "single_slash"
+    manifest = write_examples(df, f"file:{out}").collect()
+    assert sum(m["n_records"] for m in manifest) == 1
+    import os
+
+    assert os.path.isdir(str(out))  # wrote to the real path, not './file:...'
 
 
 def test_write_examples_accepts_file_scheme(spark, tmp_path):
