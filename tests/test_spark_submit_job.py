@@ -59,3 +59,71 @@ def test_spark_submit_py_files(spark, dfs, dicts, tmp_path):
     # lineage manifests were produced (resumable submission)
     manifests = [f for f in os.listdir(f"{base}/lineage") if f.endswith(".manifest.json")]
     assert manifests
+
+
+def test_spark_submit_resumes_across_processes(spark, dfs, dicts, tmp_path):
+    """North-rule resumability, end-to-end: the SAME submission re-run in
+    a NEW driver process must read completed stages back from the
+    lineage store, not recompute them — requires the pipeline
+    fingerprint to be process-stable (round-4 fix: canonicalized-plan
+    string, not semanticHash)."""
+    import json
+
+    base = str(tmp_path)
+    dfs["transcripts"].write.parquet(f"{base}/transcripts")
+    dfs["lexicon"].write.parquet(f"{base}/lexicon")
+    for name, df in dicts.items():
+        df.write.parquet(f"{base}/dicts/{name}")
+
+    zpath = _zip_package(base)
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", zpath,
+        os.path.join(REPO, "bern_spark", "jobs", "resolve.py"),
+        "--input", f"{base}/transcripts",
+        "--lexicon", f"{base}/lexicon",
+        "--dicts-dir", f"{base}/dicts",
+        "--output", f"{base}/out",
+        "--lineage-dir", f"{base}/lineage",
+        "--shuffle-partitions", "8",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-4000:]
+
+    def stage_state():
+        out = {}
+        ldir = f"{base}/lineage"
+        for f in sorted(os.listdir(ldir)):
+            if f.endswith(".manifest.json"):
+                with open(os.path.join(ldir, f)) as fh:
+                    m = json.load(fh)
+                stage_dir = os.path.join(ldir, m["stage"])
+                parts = {}
+                for root, _d, files in os.walk(stage_dir):
+                    for pf in files:
+                        if pf.endswith(".parquet"):
+                            full = os.path.join(root, pf)
+                            parts[os.path.relpath(full, stage_dir)] = os.stat(full).st_mtime_ns
+                out[m["stage"]] = (m.get("fingerprint"), parts)
+        return out
+
+    before = stage_state()
+    assert before, "no stages recorded"
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    after = stage_state()
+
+    # same fingerprints in the new process AND stage parquet untouched:
+    # the second run read through instead of recomputing
+    assert after == before, {
+        k: (before.get(k), after.get(k))
+        for k in set(before) | set(after)
+        if before.get(k) != after.get(k)
+    }
+    mentions = spark.read.parquet(f"{base}/out/mentions")
+    assert mentions.count() > 0
