@@ -163,8 +163,14 @@ def connected_components(
         # max_iter with checkpoint_every > 1): checkpoint the final edge
         # set so the deferred predecessors can be released without
         # breaking its recompute chain — otherwise up to
-        # checkpoint_every-1 full edge-set caches leak past the call
+        # checkpoint_every-1 full edge-set caches leak past the call.
+        # The pre-checkpoint cache entry of the final set is released
+        # too (the checkpoint blocks are self-contained once eager
+        # materialization returns), or the final set would be stored
+        # twice for the session lifetime.
+        old_e = e
         e = e.localCheckpoint(eager=True)
+        old_e.unpersist()
         for p in pending:
             p.unpersist()
         pending = []

@@ -41,10 +41,25 @@ def _plan_token(df: DataFrame) -> str:
     (verified: two processes, same parquet read, hashes -544669217 vs
     -48765258), which would defeat cross-restart resume. The
     canonicalized plan's *string* rendering (exprIds normalized to
-    positions) is identical across processes for the same plan shape."""
+    positions) is identical across processes for the same plan shape.
+
+    Rendered with ``spark.sql.debug.maxToStringFields`` raised for the
+    call: the default (25) elides wide attribute lists as '... N more
+    fields', under which two plans differing only past the cutoff would
+    collide — a false fingerprint MATCH, i.e. a stale-stage read."""
     import hashlib
 
-    s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    prev = conf.get(key, None)
+    conf.set(key, "100000")
+    try:
+        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 

@@ -144,8 +144,6 @@ def fetch_pubtator(
     session ends — :func:`crawl_pubtator` instead checkpoints the parsed
     rows and releases bodies per round; prefer it for multi-round
     workflows."""
-    from bern_spark.sources.pubtator import parse_pubtator_lines
-
     raw = fetch_pubtator_raw(
         pmids,
         transport=transport,
@@ -156,6 +154,16 @@ def fetch_pubtator(
     )
     if cache:
         raw = raw.persist()
+    return _parse_raw(raw, filter_mutation_types)
+
+
+def _parse_raw(raw: DataFrame, filter_mutation_types: bool) -> tuple[DataFrame, DataFrame]:
+    """Split a raw fetch relation into (docs, errors) — the ONE place
+    the ok/error filters, CRLF-safe line split, and PubTator parse are
+    wired (fetch_pubtator and crawl_pubtator both route through it, so
+    a parse fix can never apply to one path and miss the other)."""
+    from bern_spark.sources.pubtator import parse_pubtator_lines
+
     ok = raw.where(F.col("error").isNull())
     # a proxy/server may emit CRLF line endings; bare-\n splitting would
     # leave a trailing \r corrupting the last tab field of every line
@@ -215,8 +223,6 @@ def crawl_pubtator(
     once (downstream actions read the checkpointed rows, never the
     side-effecting fetch lineage). Rounds are bounded driver-side jobs,
     not an unbounded recursive plan."""
-    from bern_spark.sources.pubtator import parse_pubtator_lines
-
     filter_mut = fetch_kwargs.pop("filter_mutation_types", True)
     fetch_kwargs.pop("cache", None)  # superseded by per-round checkpoints
 
@@ -224,16 +230,9 @@ def crawl_pubtator(
         raw = fetch_pubtator_raw(
             ids_df, transport=transport, batch_size=batch_size, **fetch_kwargs
         ).persist()
-        ok = raw.where(F.col("error").isNull())
-        lines = ok.select(F.explode(F.split("text", r"\r?\n")).alias("value"))
-        docs = parse_pubtator_lines(
-            lines, filter_mutation_types=filter_mut
-        ).localCheckpoint(eager=True)
-        errs = (
-            raw.where(F.col("error").isNotNull())
-            .select("batch_pmids", "error")
-            .localCheckpoint(eager=True)
-        )
+        docs, errs = _parse_raw(raw, filter_mut)
+        docs = docs.localCheckpoint(eager=True)
+        errs = errs.localCheckpoint(eager=True)
         raw.unpersist()
         return docs, errs
 

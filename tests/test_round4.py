@@ -65,12 +65,13 @@ def test_input_token_stable_across_driver_processes(spark, tmp_path):
         f"df=s.read.parquet({p!r}).where(F.col('id')>5);"
         "print('TOKEN='+_input_token(df))"
     )
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(__file__))
     toks = []
     for _ in range(2):
         out = subprocess.run(
             [sys.executable, "-c", prog],
             capture_output=True, text=True, timeout=300,
-            cwd="/root/repo",
+            cwd=repo,
         )
         lines = [l for l in out.stdout.splitlines() if l.startswith("TOKEN=")]
         assert lines, out.stderr[-2000:]
@@ -87,6 +88,24 @@ def test_input_token_constant_memory_shape(spark, tmp_path):
     tok = _input_token(spark.read.parquet(p))
     assert len(tok) < 200  # O(1), not O(n_files)
     assert tok.startswith("files:20:")
+
+
+def test_plan_token_distinguishes_wide_projections(spark, tmp_path):
+    """Plans differing only past spark.sql.debug.maxToStringFields
+    (default 25) must still get different tokens — the truncated
+    '... N more fields' rendering would collide (code-review r4: a
+    false MATCH means a stale-stage read)."""
+    from bern_spark.pipeline import _input_token
+
+    p = str(tmp_path / "wide")
+    df = spark.range(10)
+    for i in range(30):
+        df = df.withColumn(f"c{i:02d}", F.col("id") + i)
+    df.write.parquet(p)
+    cols = [f"c{i:02d}" for i in range(30)]
+    a = spark.read.parquet(p).select(*cols[:28])   # differ only at
+    b = spark.read.parquet(p).select(*cols[:29])   # position 28 > 25
+    assert _input_token(a) != _input_token(b)
 
 
 # ---------------------------------------------------------------------------
@@ -410,12 +429,19 @@ def test_write_examples_single_slash_uri_forms(spark, tmp_path):
     ).coalesce(1)
     with pytest.raises(ValueError, match="POSIX"):
         write_examples(df, "s3:/bucket/out")
+    with pytest.raises(ValueError, match="POSIX"):
+        write_examples(df, "a://bucket/out")  # unknown scheme, '://' form
     out = tmp_path / "single_slash"
     manifest = write_examples(df, f"file:{out}").collect()
     assert sum(m["n_records"] for m in manifest) == 1
     import os
 
     assert os.path.isdir(str(out))  # wrote to the real path, not './file:...'
+    # colon-bearing plain dir names are paths, not URIs (timestamps)
+    colon_dir = tmp_path / "run-2026-08-17T10:30"
+    manifest2 = write_examples(df, str(colon_dir)).collect()
+    assert sum(m["n_records"] for m in manifest2) == 1
+    assert os.path.isdir(str(colon_dir))
 
 
 def test_write_examples_accepts_file_scheme(spark, tmp_path):
