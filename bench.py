@@ -53,6 +53,37 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibrate(spark) -> dict:
+    """Fixed-work probes whose walls depend only on box state (CPU
+    steal, cache pressure) — never on engine code. Recorded beside the
+    query walls so cross-round deltas can be attributed: if calibration
+    moved, the box moved (this VM measured ~50% uniform shifts between
+    hours from host tenancy, BENCH.md r4); if only queries moved, the
+    code did."""
+    import hashlib
+
+    def py_once():
+        t0 = time.time()
+        h = b"calibration"
+        for _ in range(200_000):
+            h = hashlib.sha256(h).digest()
+        return time.time() - t0
+
+    def spark_once():
+        t0 = time.time()
+        # decimal sum: ANSI mode overflows long on summed 64-bit hashes
+        spark.range(200_000_000).selectExpr(
+            "sum(cast(xxhash64(id) as decimal(38,0)))"
+        ).collect()
+        return time.time() - t0
+
+    spark_once()  # discard: JIT/codegen warm (7.5s cold vs 3.2s warm)
+    return {
+        "python_sha256_200k_sec": round(min(py_once() for _ in range(3)), 3),
+        "spark_xxhash_200m_sec": round(min(spark_once() for _ in range(2)), 3),
+    }
+
+
 def _timed(fn, warmup: int, repeats: int) -> dict:
     """Run fn() warmup (discarded) + repeats (timed) times; A5-style
     stats. Median is the headline: robust to one GC/compaction outlier."""
@@ -103,6 +134,7 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
     spark.sparkContext.setLogLevel("ERROR")
     medians: dict[str, float] = {}
     stats: dict[str, dict] = {}
+    stats["_calibration"] = _calibrate(spark)
 
     def bench_one(name: str, thunk):
         s = _timed(thunk, warmup, repeats)
