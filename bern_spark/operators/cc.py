@@ -101,8 +101,12 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
-    e = _canonical_undirected(edges).persist()
-    e = e.localCheckpoint(eager=True)
+    # localCheckpoint only (no Dataset-level persist first): an eager
+    # checkpoint materializes its own RDD blocks, and a persist() before
+    # it would ALSO register the pre-checkpoint plan in the CacheManager
+    # — an entry the rebind orphans, leaking one full edge-set cache per
+    # checkpoint for the session lifetime (code-review r4)
+    e = _canonical_undirected(edges).localCheckpoint(eager=True)
 
     def _sig(df: DataFrame):
         # one aggregate job: (row count, order-insensitive xxhash sum) —
@@ -135,7 +139,10 @@ def connected_components(
         e2 = _star_round(mid, large=False)
         checkpointed = i % checkpoint_every == 0
         if checkpointed:
-            e2 = e2.persist().localCheckpoint(eager=True)
+            # no persist first (see the initial checkpoint above): the
+            # eager checkpoint reads `mid` (persisted) once and stores
+            # its own blocks; a pre-checkpoint cache entry would leak
+            e2 = e2.localCheckpoint(eager=True)
         else:
             # persist BEFORE the signature action so e2 materializes into
             # cache while mid is still persisted; mid can then be released

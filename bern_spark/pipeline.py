@@ -43,23 +43,31 @@ def _plan_token(df: DataFrame) -> str:
     canonicalized plan's *string* rendering (exprIds normalized to
     positions) is identical across processes for the same plan shape.
 
-    Rendered with ``spark.sql.debug.maxToStringFields`` raised for the
-    call: the default (25) elides wide attribute lists as '... N more
-    fields', under which two plans differing only past the cutoff would
-    collide — a false fingerprint MATCH, i.e. a stale-stage read."""
+    Rendered with an explicit large ``maxFields``: the default rendering
+    elides wide attribute lists past ``spark.sql.debug.maxToStringFields``
+    (25) as '... N more fields', under which two plans differing only
+    past the cutoff would collide — a false fingerprint MATCH, i.e. a
+    stale-stage read. The explicit-arg form also avoids mutating session
+    conf around the call (a second thread rendering concurrently would
+    race the set/unset back to the truncated form)."""
     import hashlib
 
-    conf = df.sparkSession.conf
-    key = "spark.sql.debug.maxToStringFields"
-    prev = conf.get(key, None)
-    conf.set(key, "100000")
+    plan = df._jdf.queryExecution().analyzed().canonicalized()
     try:
-        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
-    finally:
-        if prev is None:
-            conf.unset(key)
-        else:
-            conf.set(key, prev)
+        # treeString(verbose, addSuffix, maxFields, printOperatorId,
+        # printOutputColumns) — Spark 4.x TreeNode signature
+        s = plan.treeString(False, False, 100_000, False, False)
+    except Exception:
+        # arity drift in a future Spark: fall back to raising the conf
+        # around a plain toString (single-threaded callers only)
+        conf = df.sparkSession.conf
+        key = "spark.sql.debug.maxToStringFields"
+        prev = conf.get(key, None)
+        conf.set(key, "100000")
+        try:
+            s = plan.toString()
+        finally:
+            conf.unset(key) if prev is None else conf.set(key, prev)
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 

@@ -198,15 +198,6 @@ def decode_example(data: bytes) -> dict:
 
 NER_FEATURE_COLS = ["input_ids", "input_mask", "segment_ids", "label_ids"]
 
-# Hadoop-ecosystem filesystem schemes that appear in the single-colon
-# URI form (scheme:/path); used by write_examples' POSIX guard.
-_FS_SCHEMES = frozenset(
-    {
-        "file", "s3", "s3a", "s3n", "hdfs", "gs", "abfs", "abfss",
-        "wasb", "wasbs", "oss", "viewfs", "swift", "o3fs", "cosn",
-    }
-)
-
 
 def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
     """Sink ``df`` to TFRecord shards: one ``part-NNNNN.tfrecord`` per
@@ -236,21 +227,24 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
     # URI detection has to thread a needle: Hadoop emits both
     # scheme:///p and the single-slash scheme:/p form, but plain POSIX
     # dir names may contain colons too (timestamps: 'run-T10:30/out').
-    # Rule: anything with '://' is a URI; a single 'scheme:' prefix is a
-    # URI only for known filesystem schemes — a colon-bearing dir name
-    # stays a path, while file:/p and s3:/p are still caught.
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)(://|:)", out_dir)
-    scheme = m.group(1).lower() if m else None
-    is_uri = m is not None and (m.group(2) == "://" or scheme in _FS_SCHEMES)
-    if is_uri and scheme != "file":
-        raise ValueError(
-            f"write_examples writes shards via POSIX open(); out_dir scheme "
-            f"{scheme!r} is not a shared POSIX filesystem path. Use a "
-            "local/NFS/fuse-mounted path, or write the encoded records as a "
-            "binary column through df.write for object stores."
-        )
-    if is_uri:
-        out_dir = out_dir[7:] if out_dir.startswith("file://") else out_dir[5:]
+    # Rule: 'scheme:' followed by '/' is a URI — catches every Hadoop
+    # form (file:/p, s3://b/p, dbfs:/p, any scheme) with no allowlist —
+    # while a colon followed by anything else stays a path ('T10:30/x').
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(?=/)", out_dir)
+    if m:
+        scheme = m.group(1).lower()
+        if scheme != "file":
+            raise ValueError(
+                f"write_examples writes shards via POSIX open(); out_dir "
+                f"scheme {scheme!r} is not a shared POSIX filesystem path. "
+                "Use a local/NFS/fuse-mounted path, or write the encoded "
+                "records as a binary column through df.write for object "
+                "stores."
+            )
+        # strip 'file:' (any casing) and collapse the empty authority of
+        # file:// / file:/// down to a single leading slash
+        rest = out_dir[m.end():]
+        out_dir = "/" + rest.lstrip("/") if rest.startswith("/") else rest
     cols = feature_cols or NER_FEATURE_COLS
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         # shard names carry only the partition id; writing into a

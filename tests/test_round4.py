@@ -431,12 +431,19 @@ def test_write_examples_single_slash_uri_forms(spark, tmp_path):
         write_examples(df, "s3:/bucket/out")
     with pytest.raises(ValueError, match="POSIX"):
         write_examples(df, "a://bucket/out")  # unknown scheme, '://' form
+    with pytest.raises(ValueError, match="POSIX"):
+        write_examples(df, "dbfs:/mnt/out")  # scheme outside any allowlist
     out = tmp_path / "single_slash"
     manifest = write_examples(df, f"file:{out}").collect()
     assert sum(m["n_records"] for m in manifest) == 1
     import os
 
     assert os.path.isdir(str(out))  # wrote to the real path, not './file:...'
+    # case-insensitive scheme + empty-authority collapse
+    out2 = tmp_path / "triple_slash"
+    manifest3 = write_examples(df, f"FILE://{out2}").collect()
+    assert sum(m["n_records"] for m in manifest3) == 1
+    assert os.path.isdir(str(out2))
     # colon-bearing plain dir names are paths, not URIs (timestamps)
     colon_dir = tmp_path / "run-2026-08-17T10:30"
     manifest2 = write_examples(df, str(colon_dir)).collect()
