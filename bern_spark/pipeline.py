@@ -31,7 +31,9 @@ from bern_spark.operators.scoring import score_pairs
 # Bump when stage semantics change: part of the lineage fingerprint, so a
 # resumed store never replays stage parquet written by incompatible code
 # (the reference's hash-named temp files, server.py:384-396, made explicit).
-PIPELINE_VERSION = "4"
+PIPELINE_VERSION = "5"  # bumped when the fingerprint token format changes
+# (v5: plan tokens render via non-verbose treeString — every v4 store
+# invalidates once, explicitly, instead of via silent token drift)
 
 
 def _plan_token(df: DataFrame) -> str:

@@ -227,10 +227,24 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
     # URI detection has to thread a needle: Hadoop emits both
     # scheme:///p and the single-slash scheme:/p form, but plain POSIX
     # dir names may contain colons too (timestamps: 'run-T10:30/out').
-    # Rule: 'scheme:' followed by '/' is a URI — catches every Hadoop
-    # form (file:/p, s3://b/p, dbfs:/p, any scheme) with no allowlist —
-    # while a colon followed by anything else stays a path ('T10:30/x').
+    # Rules: (a) 'scheme:' followed by '/' is a URI — catches every
+    # Hadoop form (file:/p, s3://b/p, dbfs:/p, any scheme) with no
+    # allowlist; (b) a WELL-KNOWN scheme with colon but no slash
+    # ('s3:bucket/out') is a malformed-URI typo and rejected rather than
+    # silently creating a local dir literally named 's3:bucket'; (c) any
+    # other colon prefix stays a path ('run-T10:30/out').
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(?=/)", out_dir)
+    known = re.match(
+        r"^(file|s3|s3a|s3n|hdfs|gs|abfs|abfss|wasb|wasbs|dbfs|oss|viewfs|swift):",
+        out_dir,
+        re.IGNORECASE,
+    )
+    if not m and known:
+        raise ValueError(
+            f"write_examples: out_dir {out_dir!r} looks like a malformed "
+            f"{known.group(1)!r} URI (no '/' after the scheme). Use an "
+            "absolute URI or a plain path."
+        )
     if m:
         scheme = m.group(1).lower()
         if scheme != "file":
@@ -241,10 +255,20 @@ def write_examples(df, out_dir: str, feature_cols: list[str] | None = None):
                 "records as a binary column through df.write for object "
                 "stores."
             )
-        # strip 'file:' (any casing) and collapse the empty authority of
-        # file:// / file:/// down to a single leading slash
+        # strip 'file:' (any casing); a file URI's authority must be
+        # empty or localhost — 'file://host/p' names a REMOTE file and
+        # folding the host into the path would write somewhere else
         rest = out_dir[m.end():]
-        out_dir = "/" + rest.lstrip("/") if rest.startswith("/") else rest
+        if rest.startswith("//"):
+            auth, sep, tail = rest[2:].partition("/")
+            if auth not in ("", "localhost"):
+                raise ValueError(
+                    f"write_examples: file URI with non-local authority "
+                    f"{auth!r} is not a local path; mount it and pass the "
+                    "mount point instead."
+                )
+            rest = "/" + tail
+        out_dir = rest
     cols = feature_cols or NER_FEATURE_COLS
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         # shard names carry only the partition id; writing into a

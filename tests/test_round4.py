@@ -433,6 +433,10 @@ def test_write_examples_single_slash_uri_forms(spark, tmp_path):
         write_examples(df, "a://bucket/out")  # unknown scheme, '://' form
     with pytest.raises(ValueError, match="POSIX"):
         write_examples(df, "dbfs:/mnt/out")  # scheme outside any allowlist
+    with pytest.raises(ValueError, match="malformed"):
+        write_examples(df, "s3:bucket/out")  # colon-no-slash typo
+    with pytest.raises(ValueError, match="authority"):
+        write_examples(df, "file://nfsserver/exports/out")  # remote authority
     out = tmp_path / "single_slash"
     manifest = write_examples(df, f"file:{out}").collect()
     assert sum(m["n_records"] for m in manifest) == 1
