@@ -2,7 +2,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "sf": ...}.
+
+The official stdout line is kept COMPACT (medians only): round 4's line
+carried per-query raw sample arrays + streaming details and outgrew the
+driver's tail capture, landing BENCH_r04.json with "parsed": null. Full
+per-query stats (min/max/mean/std/samples), calibration probes,
+calibration-normalized medians, and streaming details are side-filed to
+$SPARK_GRAFT_BENCH_STATS (default /root/repo/BENCH_STATS.json); the
+stdout line references it via "stats_file".
 
 Methodology (A5 — the reference's own harness reports mean/std/min/max
 over tries, service_checker.py:174-182): each query gets
@@ -130,6 +138,11 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
 
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # SPARK_GRAFT_BENCH_QUERIES (comma list) restricts the run — used by
+    # the CI artifact-shape guard (tests/test_round5.py) to exercise the
+    # real main() path in seconds rather than minutes
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    subset = {s.strip() for s in subset_env.split(",")} if subset_env else None
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     medians: dict[str, float] = {}
@@ -142,16 +155,20 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         medians[name] = s["median"]
 
     for name in HEADLINE:
+        if subset is not None and name not in subset:
+            continue
         fn = QUERIES[name]
         bench_one(name, lambda fn=fn: _force(fn(spark, sf_dir)))
     # engine-measuring variants: IVF ANN on the sf embeddings, banded
     # near-dup pairs on the controlled-dup-rate corpus (50k docs, ~1% dup)
-    bench_one("ivf_topk", lambda: _force(QUERIES["ivf_topk"](spark, sf_dir)))
-    ld = _lowdup_dir(spark)
-    bench_one(
-        f"dedup_minhash_pairs_lowdup{LOWDUP_DOCS // 1000}k",
-        lambda: _force(QUERIES["dedup_minhash_pairs"](spark, ld)),
-    )
+    if subset is None or "ivf_topk" in subset:
+        bench_one("ivf_topk", lambda: _force(QUERIES["ivf_topk"](spark, sf_dir)))
+    if subset is None:
+        ld = _lowdup_dir(spark)
+        bench_one(
+            f"dedup_minhash_pairs_lowdup{LOWDUP_DOCS // 1000}k",
+            lambda: _force(QUERIES["dedup_minhash_pairs"](spark, ld)),
+        )
     return medians, stats
 
 
@@ -375,16 +392,49 @@ def main() -> None:
     else:
         medians, stats = run_headline(sf_dir)
         result["queries"] = medians
-        result["queries_stats"] = stats
         result["value"] = round(sum(medians.values()), 3)
-        try:
-            # streaming-path throughput rides along in the official line
-            # (corpus cached after first run); failures must not void the
-            # batch numbers
-            result["streaming"] = run_streaming()
-        except Exception as e:  # noqa: BLE001
-            result["streaming"] = {"error": f"{type(e).__name__}: {e}"}
-    print(json.dumps(result))
+        # Calibration-normalized medians: wall / spark_xxhash_200m_sec.
+        # The fixed-work probe moves with the box (host tenancy shifted
+        # absolute walls up to ~50% between hours, BENCH.md r4), so the
+        # normalized numbers are the round-over-round comparable series.
+        cal = stats["_calibration"]["spark_xxhash_200m_sec"]
+        normalized = {k: round(v / cal, 3) for k, v in medians.items()}
+        streaming: dict = {}
+        if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+            try:
+                # streaming-path throughput rides along (corpus cached
+                # after first run); failures must not void batch numbers
+                streaming = run_streaming()
+            except Exception as e:  # noqa: BLE001
+                streaming = {"error": f"{type(e).__name__}: {e}"}
+            # only the two throughput scalars ride in the official line
+            result["streaming_turns_per_sec"] = {
+                k: v["turns_per_sec"]
+                for k, v in streaming.items()
+                if isinstance(v, dict) and "turns_per_sec" in v
+            }
+        stats_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_STATS", "/root/repo/BENCH_STATS.json"
+        )
+        with open(stats_path, "w") as f:
+            json.dump(
+                {
+                    "queries": medians,
+                    "queries_stats": stats,
+                    "queries_normalized": normalized,
+                    "calibration": stats["_calibration"],
+                    "streaming": streaming,
+                },
+                f,
+                indent=1,
+            )
+        result["stats_file"] = stats_path
+    line = json.dumps(result)
+    # the official line must stay machine-readable: the driver's tail
+    # capture truncated round 4's stats-laden line (BENCH_r04.json
+    # "parsed": null). Guarded here and by tests/test_round5.py.
+    assert len(line) < 4096, f"official bench line too long ({len(line)}B)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -165,6 +165,14 @@ def _decode_wav(data: bytes) -> dict:
                 "<HHII", data[i + 8 : i + 20]
             )
         elif cid == b"data":
+            # a truncated payload may claim more data bytes than exist
+            # past the header; trusting the header would overstate
+            # duration_ms — raise like the fmt-chunk truncation path
+            if i + 8 + csize > n:
+                raise ValueError(
+                    f"WAV: truncated data chunk (header claims {csize} "
+                    f"bytes, {n - i - 8} present)"
+                )
             data_size = csize
         i += 8 + csize + (csize & 1)
     if byte_rate is None or data_size is None:

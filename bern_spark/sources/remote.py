@@ -64,6 +64,7 @@ def fetch_pubtator_raw(
     unescape_html: bool = True,
     max_retries: int = 2,
     backoff_sec: float = 0.5,
+    request_delay_sec: float = 0.0,
 ) -> DataFrame:
     """One row per HTTP request: (batch_pmids array<string>, text string,
     error string). ``pmids`` is any relation with a ``pmid`` column; each
@@ -79,7 +80,13 @@ def fetch_pubtator_raw(
     ``_is_retryable``) get ``max_retries`` bounded exponential-backoff
     retries (``backoff_sec * 2**attempt``, executor-local sleep) before
     quarantining; permanent errors quarantine immediately. Quarantined
-    batches stay resubmittable via :func:`refetch`."""
+    batches stay resubmittable via :func:`refetch`.
+
+    ``request_delay_sec`` is the politeness knob: an executor-local sleep
+    BETWEEN successive chunk GETs within a partition (not before the
+    first), bounding each request stream to ~1/delay req/s against a
+    shared public endpoint. Total concurrency = partitions x that rate —
+    cap partitions too (see ``crawl_pubtator`` ``max_inflight``)."""
     import html as _html
     import time as _time
 
@@ -92,6 +99,8 @@ def fetch_pubtator_raw(
             ids = [str(x) for x in pdf["pmid"]]
             rows = []
             for i in range(0, len(ids), batch_size):
+                if request_delay_sec > 0 and i > 0:
+                    _time.sleep(request_delay_sec)
                 chunk = ids[i : i + batch_size]
                 url = PUBTATOR_EXPORT_URL.format(fmt=out_format, pmids=",".join(chunk))
                 text = err = None
@@ -128,7 +137,8 @@ def fetch_pubtator(
     max_retries: int = 2,
     backoff_sec: float = 0.5,
     cache: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    return_raw: bool = False,
+):
     """Fetch + parse: returns (docs, errors). ``docs`` has the S1 scan
     schema (pmid, title, abstract, mutations) — fetched documents are
     row-identical to file-scanned ones because the response bodies feed
@@ -136,14 +146,17 @@ def fetch_pubtator(
     quarantine relation of failed requests (resubmit via
     :func:`refetch`).
 
-    ``cache=True`` persists the raw response relation so separate
-    actions on docs and errors evaluate the HTTP fetch ONCE — without
-    it, each downstream action re-issues the GETs (side-effecting
-    lineage; fine for a single-action pipeline). The cached relation
-    (full response bodies) lives until the caller unpersists it or the
-    session ends — :func:`crawl_pubtator` instead checkpoints the parsed
-    rows and releases bodies per round; prefer it for multi-round
-    workflows."""
+    ``cache=True`` eagerly ``localCheckpoint``-s the raw response
+    relation: the GETs run ONCE at call time and the HTTP lineage is
+    truncated, so no downstream action (on docs or errors, however many)
+    can ever re-issue them — without it, each downstream action
+    re-evaluates the side-effecting fetch lineage (fine for a
+    single-action pipeline). The checkpointed relation (full response
+    bodies) has no caller-visible handle by default; pass
+    ``return_raw=True`` to get ``(docs, errors, raw)`` and release the
+    bodies with ``raw.unpersist()`` when done. For multi-round workflows
+    prefer :func:`crawl_pubtator`, which manages that release per
+    round."""
     raw = fetch_pubtator_raw(
         pmids,
         transport=transport,
@@ -153,8 +166,11 @@ def fetch_pubtator(
         backoff_sec=backoff_sec,
     )
     if cache:
-        raw = raw.persist()
-    return _parse_raw(raw, filter_mutation_types)
+        raw = raw.localCheckpoint(eager=True)
+    docs, errors = _parse_raw(raw, filter_mutation_types)
+    if return_raw:
+        return docs, errors, raw
+    return docs, errors
 
 
 def _parse_raw(raw: DataFrame, filter_mutation_types: bool) -> tuple[DataFrame, DataFrame]:
@@ -207,6 +223,8 @@ def crawl_pubtator(
     transport=None,
     batch_size: int = 100,
     rounds: int = 3,
+    max_inflight: int | None = None,
+    round_delay_sec: float = 0.0,
     **fetch_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """The full crawl loop: fetch, then resubmit quarantined batches up
@@ -215,31 +233,57 @@ def crawl_pubtator(
     after every round — the bounded-resubmission pattern a production
     crawl runs (the reference just prints and drops, download.py:573-575).
 
-    Memory + exactly-once contract: each round's PARSED docs and
-    quarantine rows (the actual results, small) are eagerly
-    ``localCheckpoint``-ed and the round's raw HTTP response relation is
-    unpersisted immediately — response bodies never outlive their round,
-    no cached relation leaks past the call, and every GET runs exactly
-    once (downstream actions read the checkpointed rows, never the
-    side-effecting fetch lineage). Rounds are bounded driver-side jobs,
-    not an unbounded recursive plan."""
+    Politeness: ``max_inflight`` caps the number of concurrent request
+    streams by coalescing each round's pmid relation to at most that many
+    partitions (one in-flight GET per partition); ``round_delay_sec``
+    sleeps on the driver between resubmission rounds so a retry storm
+    against a throttling endpoint backs off globally, not just per
+    request. Pair with ``request_delay_sec`` (forwarded to the fetch) for
+    a hard per-stream rate: aggregate ~= max_inflight / request_delay_sec
+    req/s. Defaults keep current behavior (no cap, no delay).
+
+    Memory + exactly-once contract: each round's raw HTTP response
+    relation is itself eagerly ``localCheckpoint``-ed — the GETs run once
+    at that materialization and the side-effecting fetch lineage is
+    TRUNCATED, so nothing downstream (including the docs/errs jobs, even
+    across cache eviction) can ever re-issue a GET; block loss fails the
+    job rather than silently refetching. The round's PARSED docs and
+    quarantine rows (the actual results, small) are then checkpointed
+    too and the raw bodies unpersisted immediately — response bodies
+    never outlive their round and no cached relation leaks past the
+    call. Rounds are bounded driver-side jobs, not an unbounded
+    recursive plan."""
     filter_mut = fetch_kwargs.pop("filter_mutation_types", True)
     fetch_kwargs.pop("cache", None)  # superseded by per-round checkpoints
+    fetch_kwargs.pop("return_raw", None)
 
     def _round(ids_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        if max_inflight is not None:
+            # coalesce, not repartition: narrowing needs no shuffle and a
+            # pmid relation is tiny relative to the fetch it gates
+            ids_df = ids_df.coalesce(max(1, max_inflight))
+        # checkpoint raw FIRST: once this returns, the HTTP lineage no
+        # longer exists anywhere — the docs/errs jobs below read
+        # checkpoint blocks (memory-and-disk), not the fetch plan
         raw = fetch_pubtator_raw(
             ids_df, transport=transport, batch_size=batch_size, **fetch_kwargs
-        ).persist()
+        ).localCheckpoint(eager=True)
         docs, errs = _parse_raw(raw, filter_mut)
         docs = docs.localCheckpoint(eager=True)
         errs = errs.localCheckpoint(eager=True)
         raw.unpersist()
         return docs, errs
 
+    import time as _time
+
     docs, errors = _round(pmids)
     for _ in range(max(0, rounds - 1)):
+        # isEmpty on an already-checkpointed tiny relation: one cheap
+        # driver action per round, bounded by `rounds`
         if errors.isEmpty():
             break
+        if round_delay_sec > 0:
+            _time.sleep(round_delay_sec)
         ids = errors.select(F.explode("batch_pmids").alias("pmid")).dropDuplicates()
         more, errors = _round(ids)
         docs = docs.unionByName(more)

@@ -232,9 +232,9 @@ def streaming_dedup_mentions_builtin(mentions_stream: DataFrame) -> DataFrame:
     custom op when the representative row must be deterministic, this
     one when it only matters THAT a key is emitted once. The difference
     is the per-key cost: the custom op pays a pandas group invocation
-    per key (~13 core-ms measured — 2.4k turns/s at 1M distinct keys);
-    this one runs at engine speed (~126k turns/s on the same corpus,
-    BENCH.md round 4).
+    per key (~13 core-ms measured — order 2k turns/s, artifacts range
+    1.7-2.4k); this one runs at engine speed (measured 94-144k turns/s
+    across round-4 artifacts on the ~1M-turn bench corpus, BENCH.md).
 
     Requires a watermark on ``ts`` upstream (streaming_candidate_mentions
     sets it); the watermark delay IS the dedup horizon.
