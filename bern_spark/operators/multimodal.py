@@ -2,14 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample are Arrow-batched
-``mapInPandas`` stages. Decode is REAL for PNG and JPEG images
-(signature + IHDR parse with CRC validation; SOFn marker scan) and WAV
-audio (RIFF/fmt/data parse → duration) — all pure-Python header parses
-from the public format specs, no libraries needed — plus a byte-histogram
-content feature. Video decode still raises NotImplementedError in this
-container (no codec libs); ``fake=True`` keeps the deterministic
-md5-driven stand-in for tests that only exercise the Spark-side plumbing
-(schemas, batch shapes, partitioning).
+``mapInPandas`` stages. Decode is REAL for every kind: PNG and JPEG
+images (signature + IHDR parse with CRC validation; SOFn marker scan),
+WAV audio (RIFF/fmt/data parse → duration), and MP4 video (ISO-BMFF
+box walk: ftyp/moov/mvhd/tkhd → duration + track dimensions) — all
+pure-Python header parses from the public format specs, no codec
+libraries needed — plus a byte-histogram content feature. ``fake=True``
+keeps the deterministic md5-driven stand-in for tests that only exercise
+the Spark-side plumbing (schemas, batch shapes, partitioning).
 """
 
 from __future__ import annotations
@@ -185,12 +185,82 @@ def _decode_wav(data: bytes) -> dict:
     }
 
 
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Walk ISO BMFF boxes in data[start:end] (ISO/IEC 14496-12 §4.2):
+    yields (type, payload_start, box_end). Handles 64-bit ``largesize``
+    (size==1) and to-end-of-enclosing boxes (size==0); a box claiming
+    past the buffer raises (truncation, like the WAV data-chunk path)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        btype = data[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("MP4: truncated largesize box header")
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:  # extends to the end of the enclosing box
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError(
+                f"MP4: box {btype!r} claims {size} bytes, {end - i} present"
+            )
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _decode_mp4(data: bytes) -> dict:
+    """Parse the MP4/ISO-BMFF container (ISO/IEC 14496-12, public spec):
+    ``ftyp`` then a ``moov`` walk — ``mvhd`` gives timescale+duration
+    (→ duration_ms), the first ``trak``/``tkhd`` with non-zero 16.16
+    fixed-point dimensions gives width/height (audio tracks carry 0x0).
+    Pure byte-walk over box headers; no codec, no sample data read."""
+    n = len(data)
+    if n < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: first box is not ftyp")
+    duration_ms = width = height = None
+    for btype, s, e in _iter_boxes(data, 0, n):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _iter_boxes(data, s, e):
+            if ctype == b"mvhd":
+                ver = data[cs]
+                if ver == 1:  # vf(4) creation(8) modification(8) ts(4) dur(8)
+                    if cs + 32 > ce:
+                        raise ValueError("MP4: truncated mvhd v1")
+                    timescale, duration = struct.unpack(">IQ", data[cs + 20 : cs + 32])
+                else:  # v0: vf(4) creation(4) modification(4) ts(4) dur(4)
+                    if cs + 20 > ce:
+                        raise ValueError("MP4: truncated mvhd v0")
+                    timescale, duration = struct.unpack(">II", data[cs + 12 : cs + 20])
+                if timescale == 0:
+                    raise ValueError("MP4: mvhd timescale is zero")
+                duration_ms = (duration * 1000) // timescale
+            elif ctype == b"trak" and not width:
+                for ttype, ts_, te in _iter_boxes(data, cs, ce):
+                    if ttype != b"tkhd":
+                        continue
+                    # width/height are the last 8 bytes of tkhd: 16.16
+                    # fixed point, after vf + times/ids + layer/volume +
+                    # the 36-byte matrix (v0 offset 76, v1 offset 88)
+                    off = ts_ + (88 if data[ts_] == 1 else 76)
+                    if off + 8 > te:
+                        raise ValueError("MP4: truncated tkhd")
+                    w_fx, h_fx = struct.unpack(">II", data[off : off + 8])
+                    if w_fx and h_fx:
+                        width, height = w_fx >> 16, h_fx >> 16
+        break
+    if duration_ms is None:
+        raise ValueError("MP4: no moov/mvhd box found")
+    return {"width": width, "height": height, "duration_ms": duration_ms}
+
+
 def _decode_real(payload: bytes, kind: str) -> dict:
     """Real decode dispatch — uniform keys (width, height, duration_ms;
-    None where the modality has no such axis). PNG/JPEG images and WAV
-    audio parse natively (pure Python, public specs); video requires
-    codec libraries not present in this environment and raises — the
-    remaining honest stub."""
+    None where the modality has no such axis). PNG/JPEG images, WAV
+    audio, and MP4 video all parse natively (pure-Python header walks
+    over the public format specs; no codec libraries)."""
     data = bytes(payload or b"")
     if kind == "image":
         if data[:8] == _PNG_MAGIC:
@@ -205,11 +275,11 @@ def _decode_real(payload: bytes, kind: str) -> dict:
             d = _decode_wav(data)
             return {"width": None, "height": None, "duration_ms": d["duration_ms"]}
         raise ValueError("audio payload is not RIFF/WAV")
-    raise NotImplementedError(
-        f"decode for kind={kind!r} requires codec libraries not present "
-        "in this environment; PNG/JPEG/WAV decode natively, fake=True "
-        "gives the deterministic test path for the rest"
-    )
+    if kind == "video":
+        if len(data) >= 8 and data[4:8] == b"ftyp":
+            return _decode_mp4(data)
+        raise ValueError("video payload is not MP4/ISO-BMFF")
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def _real_feature(payload: bytes) -> list[float]:
@@ -229,9 +299,9 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads. Arrow batches
     arrive as pandas DataFrames; one output row per media row.
 
-    ``fake=False``: the REAL path — per-row header decode (PNG/JPEG/WAV
-    natively; video raises NotImplementedError) populating
-    width/height/duration_ms, plus the byte-histogram content feature.
+    ``fake=False``: the REAL path — per-row header decode (PNG/JPEG/WAV/
+    MP4, all native) populating width/height/duration_ms, plus the
+    byte-histogram content feature.
     ``fake=True``: deterministic md5 stand-in features, decode columns
     null."""
 

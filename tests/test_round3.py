@@ -114,9 +114,10 @@ def test_extract_features_real_png(spark):
     assert row2.feature == row.feature
 
 
-def test_extract_features_real_video_raises(spark):
-    # JPEG/WAV decode landed in round 4 (test_round4.py); video is the
-    # remaining honest NotImplementedError stub
+def test_extract_features_real_truncated_video_raises(spark):
+    # JPEG/WAV decode landed in round 4, MP4 in round 5 (test_round5.py
+    # has the happy path); a truncated MP4 (ftyp box claims 24 bytes, 16
+    # present) must fail loudly through the Arrow path, not yield nulls
     from bern_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
 
     media = spark.createDataFrame(
@@ -125,7 +126,7 @@ def test_extract_features_real_video_raises(spark):
     )
     with pytest.raises(Exception) as ei:
         extract_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value)
+    assert "claims" in str(ei.value)
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,101 @@ def test_decode_wav_data_chunk_not_last_still_requires_full_payload():
 
 
 # ---------------------------------------------------------------------------
+# MP4 decode kernel (VERDICT r4 item 6): the last NotImplementedError is
+# gone — ISO-BMFF ftyp/moov/mvhd/tkhd box walk, pure struct.
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    timescale: int = 1000,
+    version: int = 0,
+    audio_track_first: bool = False,
+) -> bytes:
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd, [audio trak,] video
+    trak). Dimensions are 16.16 fixed point in tkhd; duration is mvhd
+    ticks at ``timescale``."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    dur = duration_ms * timescale // 1000
+    if version == 1:
+        mvhd_p = struct.pack(">B3x", 1) + struct.pack(">QQIQ", 0, 0, timescale, dur)
+    else:
+        mvhd_p = struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, timescale, dur)
+    mvhd_p += struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100) + b"\x00" * 10
+    mvhd_p += struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd_p += b"\x00" * 24 + struct.pack(">I", 3)
+
+    def tkhd(w: int, h: int) -> bytes:
+        if version == 1:
+            p = struct.pack(">B3x", 1) + struct.pack(">QQII", 0, 0, 1, 0)
+            p += struct.pack(">Q", dur)
+        else:
+            p = struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, 1, 0)
+            p += struct.pack(">I", dur)
+        p += b"\x00" * 8 + struct.pack(">hhh", 0, 0, 0x0100) + b"\x00" * 2
+        p += struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        p += struct.pack(">II", w << 16, h << 16)
+        return _box(b"trak", _box(b"tkhd", p))
+
+    traks = tkhd(width, height)
+    if audio_track_first:
+        traks = tkhd(0, 0) + traks
+    return ftyp + _box(b"moov", _box(b"mvhd", mvhd_p) + traks)
+
+
+@pytest.mark.parametrize("version", [0, 1])
+def test_decode_mp4_dimensions_and_duration(version):
+    from bern_spark.operators.multimodal import _decode_mp4
+
+    meta = _decode_mp4(make_mp4(1920, 1080, 2500, version=version))
+    assert meta == {"width": 1920, "height": 1080, "duration_ms": 2500}
+
+
+def test_decode_mp4_skips_zero_dim_audio_track():
+    from bern_spark.operators.multimodal import _decode_mp4
+
+    meta = _decode_mp4(make_mp4(640, 360, 900, audio_track_first=True))
+    assert (meta["width"], meta["height"]) == (640, 360)
+
+
+def test_decode_mp4_rejects_truncation_and_non_mp4():
+    from bern_spark.operators.multimodal import _decode_mp4
+
+    full = make_mp4(320, 240, 1000)
+    with pytest.raises(ValueError, match="claims"):
+        _decode_mp4(full[:-10])  # moov box claims past the buffer
+    with pytest.raises(ValueError, match="ftyp"):
+        _decode_mp4(b"\x00" * 32)
+    with pytest.raises(ValueError, match="timescale"):
+        _decode_mp4(make_mp4(320, 240, 1000, timescale=1000).replace(
+            __import__("struct").pack(">II", 1000, 1000),
+            __import__("struct").pack(">II", 0, 1000), 1,
+        ))
+
+
+def test_extract_features_real_decodes_video(spark):
+    """fake=False over an MP4 payload populates width/height/duration_ms
+    through the Arrow mapInPandas path — no kind raises anymore."""
+    from bern_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [("v1", "video", bytearray(make_mp4(854, 480, 3000)), ("video/mp4", None, None, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media, fake=False).collect()[0]
+    assert (out["width"], out["height"], out["duration_ms"]) == (854, 480, 3000)
+    assert out["n_bytes"] == len(make_mp4(854, 480, 3000))
+
+
+# ---------------------------------------------------------------------------
 # Remote fetch: cache handle + exactly-once lineage truncation (ADVICE r4)
 # ---------------------------------------------------------------------------
 

@@ -83,15 +83,17 @@ def test_multimodal_features_and_frames(spark):
     }
 
 
-def test_decode_stub_raises():
+def test_decode_unrecognized_payloads_raise():
     from bern_spark.operators.multimodal import _decode_real
 
-    # video is the remaining NotImplementedError stub (PNG/JPEG/WAV are
-    # real since round 4); an unrecognized image payload is a ValueError
-    with pytest.raises(NotImplementedError):
+    # all kinds decode natively since round 5 (MP4 closed the set);
+    # unrecognized payloads and unknown kinds are ValueErrors
+    with pytest.raises(ValueError, match="not MP4"):
         _decode_real(b"x", "video")
     with pytest.raises(ValueError):
         _decode_real(b"x", "image")
+    with pytest.raises(ValueError, match="unknown media kind"):
+        _decode_real(b"x", "hologram")
 
 
 def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
