@@ -114,6 +114,7 @@ def _timed(fn, warmup: int, repeats: int) -> dict:
 
 
 LOWDUP_DOCS = 50_000  # ~1% near-dup rate corpus for the banded-pairs bench
+EXPORT_DOCS = 5_000  # bounded deterministic slice for the TFRecord-export row
 
 
 def _lowdup_dir(spark) -> str:
@@ -169,6 +170,47 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
             f"dedup_minhash_pairs_lowdup{LOWDUP_DOCS // 1000}k",
             lambda: _force(QUERIES["dedup_minhash_pairs"](spark, ld)),
         )
+        # training-data export job (W1-W6 -> TFRecord shards): wall for a
+        # bounded deterministic slice; examples/sec lands in the stats
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from bern_spark.jobs.export_tfrecords import build_vocab, export_tfrecords
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id")
+            .limit(EXPORT_DOCS)
+        )
+        turns = docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+        )
+        # limit() collapses to one partition — restore engine parallelism
+        # (the framing UDF chain inherits input partitioning), then
+        # checkpoint so the timed runs bench the export, not the scan+sort
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        turns = turns.repartition(cpus).localCheckpoint(eager=True)
+        vocab = build_vocab(turns)
+        out_dir = "/root/repo/.scratch/bench_tfrecord_export"
+        records = {"n": 0}
+
+        def _export():
+            shutil.rmtree(out_dir, ignore_errors=True)
+            manifest = export_tfrecords(turns, vocab, out_dir, shards=32)
+            records["n"] = sum(r["n_records"] for r in manifest.collect())
+
+        bench_one("tfrecord_export", _export)
+        stats["tfrecord_export"]["examples"] = records["n"]
+        stats["tfrecord_export"]["examples_per_sec"] = round(
+            records["n"] / stats["tfrecord_export"]["median"], 1
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
     return medians, stats
 
 

@@ -56,13 +56,25 @@ def sentence_index(turns: DataFrame) -> DataFrame:
     )
 
 
-def word_windows(turns: DataFrame, window_tokens: int = 30) -> DataFrame:
+def word_windows(
+    turns: DataFrame,
+    window_tokens: int = 30,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+) -> DataFrame:
     """W4: fixed-size token windows per turn (the reference's 30-word NER
     example chunking, run_ner.py:157-190) — token offsets from the W2/W3
-    tokenizer, windowing done relationally."""
+    tokenizer, windowing done relationally.
+
+    ``keys`` are passed through unchanged (the export job windows
+    SENTENCES and keeps ``(conv_id, turn_idx, sent_idx)``); ``text_col``
+    names the column to window. Offsets are relative to ``text_col``."""
     from bern_spark.operators.extract import tokens_udf
 
-    t = turns.withColumn("_toks", tokens_udf(F.col("text")))
+    keys = list(keys)
+    t = turns.withColumn("_toks", tokens_udf(F.col(text_col)))
+    if text_col != "text":
+        t = t.withColumn("text", F.col(text_col))
     n_win = F.ceil(F.size("_toks") / window_tokens).cast("int")
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(n_win - 1, F.lit(0))),
@@ -76,11 +88,10 @@ def word_windows(turns: DataFrame, window_tokens: int = 30) -> DataFrame:
         ),
     )
     out = t.where(F.size("_toks") > 0).select(
-        "conv_id", "turn_idx", "text", F.explode(wins).alias("w")
+        *keys, "text", F.explode(wins).alias("w")
     )
     return out.select(
-        "conv_id",
-        "turn_idx",
+        *keys,
         F.col("w.win_idx").alias("win_idx"),
         F.col("w.start").alias("start"),
         F.col("w.end").alias("end"),

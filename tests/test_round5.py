@@ -256,6 +256,163 @@ def test_crawl_rounds_truncate_http_lineage(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Composed training-data export job (VERDICT r4 item 5): W1-W3 → W4 →
+# W5/W6 → S9 in one program, mirroring the reference's offline batch
+# path (run_ner.py:864-885 + 663-700).
+# ---------------------------------------------------------------------------
+
+
+def _export_turns(spark):
+    rows = [
+        ("c1", 0, "user", "BRCA1 is mutated. Aspirin helps sometimes.", None, None),
+        ("c1", 1, "agent", "The flu spreads fast here.", None, None),
+        ("c2", 0, "user", "Aspirin and BRCA1 again today.", None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_export_tfrecords_job_end_to_end(spark, tmp_path):
+    """The composed job writes CRC-valid shards whose decoded Examples
+    match the frame_turns golden output row-for-row."""
+    from bern_spark.jobs.export_tfrecords import (
+        build_vocab,
+        export_tfrecords,
+        frame_turns,
+    )
+    from bern_spark.sources.tfrecord import decode_example, read_tfrecord_file
+
+    turns = _export_turns(spark)
+    vocab = build_vocab(turns)
+    assert vocab["[PAD]"] == 0 and "[UNK]" in vocab and "[CLS]" in vocab
+
+    out_dir = str(tmp_path / "shards")
+    manifest = export_tfrecords(
+        turns, vocab, out_dir, max_seq_length=32, shards=2
+    ).collect()
+    assert len(manifest) == 2
+    framed = frame_turns(turns, vocab, max_seq_length=32).collect()
+    assert sum(m["n_records"] for m in manifest) == len(framed)
+
+    # read every shard back: CRC validation is inherent to the reader
+    decoded = []
+    for m in manifest:
+        decoded.extend(decode_example(r) for r in read_tfrecord_file(m["shard"]))
+    want = sorted(
+        (tuple(r["input_ids"]), tuple(r["input_mask"]), tuple(r["segment_ids"]), tuple(r["label_ids"]))
+        for r in framed
+    )
+    got = sorted(
+        (tuple(d["input_ids"]), tuple(d["input_mask"]), tuple(d["segment_ids"]), tuple(d["label_ids"]))
+        for d in decoded
+    )
+    assert got == want
+    # framing invariants: every example is padded to max_seq_length and
+    # starts with [CLS]
+    for d in decoded:
+        assert len(d["input_ids"]) == 32
+        assert d["input_ids"][0] == vocab["[CLS]"]
+
+
+def test_frame_turns_bio_labels_from_mentions(spark):
+    """Mention char spans label window tokens B/I by overlap; tokens
+    outside spans stay O. Offsets are turn-absolute through the
+    sentence → window chain."""
+    from bern_spark.functions.pytext import NER_LABELS
+    from bern_spark.jobs.export_tfrecords import build_vocab, frame_turns
+
+    label_of = {i: l for i, l in enumerate(NER_LABELS, 1)}
+    turns = _export_turns(spark)
+    # "BRCA1 is mutated." — span over "BRCA1" (0..5); second sentence
+    # "Aspirin helps sometimes." — span over "Aspirin" (18..25)
+    mentions = spark.createDataFrame(
+        [("c1", 0, 0, 5), ("c1", 0, 18, 25)],
+        "conv_id string, turn_idx int, start int, end int",
+    )
+    vocab = build_vocab(turns)
+    framed = {
+        (r["conv_id"], r["turn_idx"], r["sent_idx"], r["win_idx"]): r
+        for r in frame_turns(turns, vocab, mentions=mentions, max_seq_length=32).collect()
+    }
+    s0 = framed[("c1", 0, 0, 0)]
+    # mask off padding, decode label ids back to tag names
+    n = sum(s0["input_mask"])
+    tags = [label_of[i] for i in s0["label_ids"][:n]]
+    toks = s0["ntokens"][:n]
+    assert tags[0] == "[CLS]" and tags[-1] == "[SEP]"
+    by_tok = list(zip(toks, tags))
+    assert ("brca1", "B") in by_tok or ("BRCA1", "B") in by_tok
+    # non-mention words in the same sentence are O
+    assert any(t == "is" and g == "O" for t, g in by_tok)
+    s1 = framed[("c1", 0, 1, 0)]
+    n1 = sum(s1["input_mask"])
+    tags1 = [label_of[i] for i in s1["label_ids"][:n1]]
+    assert "B" in tags1  # Aspirin span re-anchored into sentence 2
+    # unlabeled turn: all O between [CLS]/[SEP]
+    s2 = framed[("c1", 1, 0, 0)]
+    n2 = sum(s2["input_mask"])
+    assert set(label_of[i] for i in s2["label_ids"][1 : n2 - 1]) == {"O"}
+
+
+def test_bio_labels_multi_token_span():
+    from bern_spark.jobs.export_tfrecords import bio_labels
+
+    # "acute lymphoblastic leukemia" as one span over three tokens
+    toks = [("acute", 0, 5), ("lymphoblastic", 6, 19), ("leukemia", 20, 28), ("is", 29, 31)]
+    assert bio_labels(toks, 0, [(0, 28)]) == ["B", "I", "I", "O"]
+    # window base shifts token offsets into span coordinates
+    assert bio_labels([("leukemia", 0, 8)], 20, [(0, 28)]) == ["B"]
+    assert bio_labels(toks, 0, []) == ["O", "O", "O", "O"]
+
+
+def test_export_job_spark_submit(spark, tmp_path):
+    """The export job runs via spark-submit --py-files (the north-rule
+    submission contract, same as jobs/resolve.py), reading a vocab.txt in
+    the public BERT one-token-per-line format and leaving decodable
+    shards plus a shard\\tcount manifest on stdout."""
+    import shutil
+    import subprocess
+
+    from bern_spark.jobs.export_tfrecords import build_vocab, load_vocab
+    from bern_spark.sources.tfrecord import read_tfrecord_file
+    from tests.test_spark_submit_job import REPO, _zip_package
+
+    turns = _export_turns(spark)
+    base = str(tmp_path)
+    turns.write.parquet(f"{base}/turns")
+    vocab = build_vocab(turns)
+    vocab_path = f"{base}/vocab.txt"
+    with open(vocab_path, "w") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+    assert load_vocab(vocab_path) == vocab
+
+    zpath = _zip_package(base)
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the ONLY package source
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]", "--py-files", zpath,
+            os.path.join(REPO, "bern_spark", "jobs", "export_tfrecords.py"),
+            "--input", f"{base}/turns", "--vocab", vocab_path,
+            "--out", f"{base}/out", "--max-seq-length", "32",
+            "--shards", "1", "--shuffle-partitions", "8",
+        ],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    import glob
+
+    shards = glob.glob(f"{base}/out/part-*.tfrecord")
+    assert len(shards) == 1
+    n = len(read_tfrecord_file(shards[0]))
+    assert n > 0
+    assert f"{shards[0]}\t{n}" in r.stdout
+
+
+# ---------------------------------------------------------------------------
 # Crawl politeness knobs (VERDICT r4 item 8)
 # ---------------------------------------------------------------------------
 
