@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-block-size", type=int, default=200)
     p.add_argument("--no-lsh", action="store_true")
     p.add_argument("--embedding-cosine", action="store_true")
+    p.add_argument(
+        "--extract-buckets", type=int, default=0,
+        help="with --lineage-dir: run the extract stage as this many "
+        "conv_id hash buckets with mid-stage resume (0 = whole-stage)",
+    )
+    p.add_argument("--extract-progress-jobs", type=int, default=4)
     return p
 
 
@@ -123,6 +129,8 @@ def main(argv: list[str] | None = None) -> None:
         max_block_size=args.max_block_size,
         use_lsh=not args.no_lsh,
         use_embedding_cosine=args.embedding_cosine,
+        extract_buckets=args.extract_buckets,
+        extract_progress_jobs=args.extract_progress_jobs,
     )
     res = resolve_entities(
         transcripts, lexicon, dicts, id_merge=id_merge, config=cfg, lineage_store=store

@@ -49,6 +49,20 @@ def _shingle_array(surface) -> F.Column:
     ).otherwise(F.array(norm))
 
 
+def _perm_min(sh: F.Column, seed: str) -> F.Column:
+    """Min over shingles of xxhash64(seed || shingle) for one seeded
+    permutation. The seed is captured via THIS function's scope, not a
+    lambda default arg: ``lambda g, p=p`` has two parameters, which
+    PySpark's ``transform`` treats as an (element, index) lambda — ``p``
+    silently binds to the index Column and ``F.lit(str(p))`` embeds that
+    Column's repr (containing a per-construction lambda-variable id) as
+    the seed. Signatures were then stable within one plan but DIFFERENT
+    across plan constructions — breaking cross-run determinism and
+    resume parity (found by the round-5 bucketed-vs-whole-stage test)."""
+    lit_seed = F.lit(seed)
+    return F.array_min(F.transform(sh, lambda g: F.xxhash64(F.concat(lit_seed, g))))
+
+
 def minhash_signature(surface) -> F.Column:
     """N_PERM seeded-permutation minima, entirely inside whole-stage
     codegen: per permutation p, min over shingles of xxhash64(p || g).
@@ -56,14 +70,7 @@ def minhash_signature(surface) -> F.Column:
     surface) with JVM hashing — same statistical contract (independent
     uniform permutations), zero Python worker involvement."""
     sh = _shingle_array(surface)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda g, p=p: F.xxhash64(F.concat(F.lit(str(p)), g)))
-            )
-            for p in range(N_PERM)
-        ]
-    )
+    return F.array(*[_perm_min(sh, str(p)) for p in range(N_PERM)])
 
 
 def token_block_key(col) -> F.Column:

@@ -152,6 +152,18 @@ class ERConfig:
     # At cluster scale the same boundaries become persisted stage tables
     # (bern_spark.lineage) for resumability.
     checkpoint_stages: bool = True
+    # Bucketed incremental EXTRACT stage (requires lineage_store): >0
+    # routes stage_01 through LineageStore.run_bucketed_stage, hashing
+    # conv_id into this many buckets written as progress_jobs
+    # partition-overwrite sub-jobs — a preemption mid-extract resumes at
+    # the last completed sub-job instead of restarting the stage. Extract
+    # is the one stage long enough to care (89% of the 4-core wall at
+    # 300M turns, BENCH.md r4); the other stages stay whole-stage
+    # run_stage. 0 = whole-stage extract (default: sub-job scheduling +
+    # the per-sub-job input scan cost ~additive overhead, only worth
+    # paying when preemption is real — measured overhead in BENCH.md r5).
+    extract_buckets: int = 0
+    extract_progress_jobs: int = 4
 
 
 def resolve_entities(
@@ -198,26 +210,47 @@ def resolve_entities(
     else:
         cut = lambda df: df.persist()  # noqa: E731
 
-    mentions = extract_mentions(transcripts, lexicon)
-    if mirna_dict is not None or pathway_names:
-        from bern_spark.operators.extract import with_canonical_text
-        from bern_spark.operators.taggers import (
-            make_pathway_udf,
-            mirna_spans_udf,
-            tag_regex_mentions,
-        )
-
-        turns = with_canonical_text(transcripts)
-        extra = []
-        if mirna_dict is not None:
-            extra.append(tag_regex_mentions(turns, "miRNA", mirna_spans_udf))
-        if pathway_names:
-            extra.append(
-                tag_regex_mentions(turns, "pathway", make_pathway_udf(pathway_names))
+    def _build_mentions(tr: DataFrame) -> DataFrame:
+        m = extract_mentions(tr, lexicon)
+        if mirna_dict is not None or pathway_names:
+            from bern_spark.operators.extract import with_canonical_text
+            from bern_spark.operators.taggers import (
+                make_pathway_udf,
+                mirna_spans_udf,
+                tag_regex_mentions,
             )
-        for e in extra:
-            mentions = mentions.unionByName(e)
-    mentions = cut(mentions)
+
+            turns = with_canonical_text(tr)
+            if mirna_dict is not None:
+                m = m.unionByName(tag_regex_mentions(turns, "miRNA", mirna_spans_udf))
+            if pathway_names:
+                m = m.unionByName(
+                    tag_regex_mentions(turns, "pathway", make_pathway_udf(pathway_names))
+                )
+        return m
+
+    if lineage_store is not None and cfg.extract_buckets > 0:
+        # Bucketed incremental extract (VERDICT r4 item 3): valid because
+        # extraction is per-turn — no cross-conv_id interaction — so any
+        # conv_id bucket can run as its own sub-job. The transform
+        # recomputes _bucket from conv_id (same pmod-hash the store uses)
+        # instead of threading the column through the extractor.
+        _stage_no[0] += 1
+        n_b = cfg.extract_buckets
+        mentions = lineage_store.run_bucketed_stage(
+            spark,
+            f"stage_{_stage_no[0]:02d}",
+            transcripts,
+            ["conv_id"],
+            lambda df: _build_mentions(df.drop("_bucket")).withColumn(
+                "_bucket", F.pmod(F.hash("conv_id"), F.lit(n_b))
+            ),
+            n_buckets=n_b,
+            progress_jobs=cfg.extract_progress_jobs,
+            fingerprint=fp,
+        ).drop("_bucket")
+    else:
+        mentions = cut(_build_mentions(transcripts))
     normalized = normalize_all(mentions, dicts)
     if mirna_dict is not None:
         from bern_spark.operators.normalize import CUI_LESS as _CL

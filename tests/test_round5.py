@@ -413,6 +413,108 @@ def test_export_job_spark_submit(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Bucketed flagship extract stage (VERDICT r4 item 3): mid-stage resume
+# through resolve_entities, not just the raw LineageStore API.
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_signature_stable_across_plan_constructions(spark):
+    """Regression (round-5 find): ``lambda g, p=p`` in minhash_signature
+    was a TWO-parameter lambda, which F.transform treats as
+    (element, index) — the permutation seed silently became the repr of
+    the index Column, whose auto-generated lambda-variable id changes per
+    plan construction. Signatures were stable within a plan but differed
+    across plans, breaking run-to-run determinism (and with it resume
+    parity and any cross-run LSH comparison)."""
+    from bern_spark.operators.blocking import minhash_signature
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("drug", "zobruvvor17ine")], ["etype", "surface"])
+    sigs = [
+        df.select(minhash_signature(F.col("surface")).alias("s")).collect()[0]["s"]
+        for _ in range(3)
+    ]
+    assert sigs[0] == sigs[1] == sigs[2]
+    assert len(set(sigs[0])) > 1  # permutations genuinely differ
+
+
+def _stage01_bucket_mtimes(ldir):
+    """mtime_ns per _bucket=N directory's data files in stage_01."""
+    out = {}
+    sdir = os.path.join(ldir, "stage_01")
+    for bucket in os.listdir(sdir):
+        if not bucket.startswith("_bucket="):
+            continue
+        bdir = os.path.join(sdir, bucket)
+        out[bucket] = {
+            f: os.stat(os.path.join(bdir, f)).st_mtime_ns
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_flagship_bucketed_extract_kill_and_resume(spark, dfs, dicts, tmp_path):
+    """resolve_entities with extract_buckets routes stage_01 through
+    run_bucketed_stage: results bit-match the whole-stage run, and after
+    a simulated mid-stage kill (manifest rewound to 2 done buckets) the
+    resumed run leaves completed buckets' parquet UNTOUCHED on disk while
+    redoing only the rest."""
+    import json
+
+    from bern_spark.lineage import LineageStore
+    from bern_spark.pipeline import ERConfig, pairwise_f1, resolve_entities
+
+    ldir = str(tmp_path / "lineage")
+    cfg = ERConfig(extract_buckets=8, extract_progress_jobs=4)
+    res = resolve_entities(
+        dfs["transcripts"], dfs["lexicon"], dicts, id_merge=dfs["id_merge"],
+        config=cfg, lineage_store=LineageStore(ldir),
+    )
+    bucketed_mentions = res["mentions"].collect()
+    assert pairwise_f1(res["labels"], dfs["labeled_pairs"])["f1"] == 1.0
+
+    # parity with the whole-stage path
+    base = resolve_entities(
+        dfs["transcripts"], dfs["lexicon"], dicts, id_merge=dfs["id_merge"],
+        config=ERConfig(),
+    )
+    def rowkey(r):
+        return tuple(tuple(v) if isinstance(v, list) else v for v in r)
+
+    a = {rowkey(r) for r in bucketed_mentions}
+    b = {rowkey(r) for r in base["mentions"].collect()}
+    assert a == b
+
+    man_path = os.path.join(ldir, "stage_01.manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    assert man["layout"] == "_bucket" and len(man["done_buckets"]) == 8
+
+    # simulated preemption: two buckets done, everything else in flight
+    before = _stage01_bucket_mtimes(ldir)
+    kept = man["done_buckets"][:2]
+    man.update(status="in_progress", done_buckets=kept)
+    man.pop("rows_done", None)
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+
+    res2 = resolve_entities(
+        dfs["transcripts"], dfs["lexicon"], dicts, id_merge=dfs["id_merge"],
+        config=cfg, lineage_store=LineageStore(ldir),
+    )
+    assert {rowkey(r) for r in res2["mentions"].collect()} == a  # no dupes/losses
+    after = _stage01_bucket_mtimes(ldir)
+    for k in kept:
+        key = f"_bucket={k}"
+        assert after[key] == before[key], f"completed bucket {key} was rewritten"
+    redone = [k for k in after if k not in (f"_bucket={i}" for i in kept)]
+    assert any(after[k] != before.get(k) for k in redone)
+    with open(man_path) as f:
+        assert json.load(f)["status"] == "complete"
+
+
+# ---------------------------------------------------------------------------
 # Crawl politeness knobs (VERDICT r4 item 8)
 # ---------------------------------------------------------------------------
 
