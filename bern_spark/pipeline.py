@@ -73,6 +73,81 @@ def _plan_token(df: DataFrame) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
+def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
+    """O(1) identity tokens when EVERY leaf of the plan is a catalog
+    table — the Iceberg-snapshot upgrade path the file walk documents:
+
+    - **versioned V2 tables** (Iceberg, Delta): the table's reported
+      snapshot/version IS the data identity — one metadata read, no file
+      listing, exact invalidation on any commit. Iceberg surfaces it as
+      the ``current-snapshot-id`` table property; Delta/others via a
+      ``version()`` accessor. Probed by duck-typing through py4j so no
+      connector needs to be installed to run this code.
+    - **V1 catalog tables** (Hive/Derby metastore parquet), unpartitioned
+      with a locally statable location: table identifier + the location
+      directory's (size, mtime_ns) — appends/overwrites create or remove
+      files directly under the root, bumping the directory mtime; O(1)
+      driver work. Partitioned or remote-location tables return None
+      (writes land in partition subdirs the root stat can't see) and the
+      caller falls back to the file walk.
+
+    Returns one token per leaf, or None if ANY leaf is not identifiable
+    this way (then the ``inputFiles`` walk below is the safe identity).
+    A false None merely costs the listing; a wrong token would risk a
+    stale-stage read, so every branch that cannot PROVE identity falls
+    back."""
+    import os
+
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        n = leaves.size()
+    except Exception:
+        return None
+    toks: list[str] = []
+    for i in range(n):
+        leaf = leaves.apply(i)
+        cls = leaf.getClass().getSimpleName()
+        tok = None
+        try:
+            if cls in ("DataSourceV2Relation", "DataSourceV2ScanRelation"):
+                table = leaf.table()
+                name = table.name()
+                try:
+                    props = table.properties()
+                    snap = props.get("current-snapshot-id")  # Iceberg
+                except Exception:
+                    snap = None
+                if snap is not None:
+                    tok = f"table:{name}:snap:{snap}"
+                else:
+                    try:
+                        tok = f"table:{name}:v:{table.version()}"  # Delta-style
+                    except Exception:
+                        tok = None
+            elif cls == "LogicalRelation" and leaf.catalogTable().isDefined():
+                ct = leaf.catalogTable().get()
+                if ct.partitionColumnNames().isEmpty():
+                    loc = ct.location().toString()
+                    p = (
+                        loc[7:]
+                        if loc.startswith("file://")
+                        else loc[5:]
+                        if loc.startswith("file:")
+                        else loc
+                    )
+                    st = os.stat(p)  # raises on remote/missing -> fallback
+                    tok = (
+                        f"table:{ct.identifier().toString()}:"
+                        f"dir:{st.st_size}:{st.st_mtime_ns}"
+                    )
+        except Exception:
+            tok = None
+        if tok is None:
+            return None
+        toks.append(tok)
+    return toks if toks else None
+
+
 def _input_token(df: DataFrame | None) -> str:
     """Cheap identity token for a pipeline input, combining BOTH signals:
 
@@ -93,13 +168,19 @@ def _input_token(df: DataFrame | None) -> str:
 
     Driver-side metadata only — no Spark job. A false mismatch merely
     recomputes; a false match would read stale parquet, so both signals
-    are combined. (On Iceberg the snapshot id replaces the file listing;
-    object-store URIs that can't be stat'd contribute names only.)"""
+    are combined. Catalog-table inputs short-circuit through
+    :func:`_catalog_leaf_tokens` (Iceberg snapshot id / table version /
+    unpartitioned-location stat) — O(1) per table instead of the
+    O(files) listing; object-store URIs that can't be stat'd contribute
+    names only."""
     import hashlib
     import os
 
     if df is None:
         return "none"
+    cat = _catalog_leaf_tokens(df)
+    if cat is not None:
+        return f"cat:{';'.join(cat)}:plan:{_plan_token(df)}"
     h = hashlib.sha256()
     n = 0
     for f in sorted(df.inputFiles()):

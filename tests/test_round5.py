@@ -418,6 +418,77 @@ def test_export_job_spark_submit(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Catalog-table fingerprint path (VERDICT r4 item 4): O(1) identity for
+# table inputs, invalidating on table change, no inputFiles() listing.
+# ---------------------------------------------------------------------------
+
+
+def test_input_token_catalog_table_o1_and_invalidation(spark, tmp_path):
+    from bern_spark.pipeline import _input_token
+
+    loc = str(tmp_path / "ttbl")
+    spark.sql("DROP TABLE IF EXISTS r5_ttbl")
+    spark.sql(
+        f"CREATE TABLE r5_ttbl (id BIGINT, v STRING) USING parquet LOCATION '{loc}'"
+    )
+    spark.sql("INSERT INTO r5_ttbl VALUES (1, 'a'), (2, 'b')")
+    try:
+        df = spark.table("r5_ttbl")
+        t1 = _input_token(df)
+        assert t1.startswith("cat:table:")
+        # O(1): the token must come from catalog metadata + one dir stat,
+        # never the O(files) listing
+        df2 = spark.table("r5_ttbl")
+        df2.inputFiles = lambda: (_ for _ in ()).throw(AssertionError("listed files"))
+        t1b = _input_token(df2)
+        assert t1b == t1  # stable while the table is unchanged
+        # table change -> invalidation
+        spark.sql("INSERT INTO r5_ttbl VALUES (3, 'c')")
+        t2 = _input_token(spark.table("r5_ttbl"))
+        assert t2 != t1
+        # a different PLAN over the same table also invalidates (the
+        # combined plan hash, same contract as the file-walk path)
+        t3 = _input_token(spark.table("r5_ttbl").where("id > 1"))
+        assert t3 != t2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r5_ttbl")
+
+
+def test_input_token_partitioned_table_falls_back_to_files(spark, tmp_path):
+    """Partitioned V1 tables write into partition subdirs the root stat
+    cannot see — the token must NOT claim O(1) identity there; it falls
+    back to the exact file walk (wrong-token risk beats listing cost)."""
+    from bern_spark.pipeline import _input_token
+
+    loc = str(tmp_path / "ptbl")
+    spark.sql("DROP TABLE IF EXISTS r5_ptbl")
+    spark.sql(
+        "CREATE TABLE r5_ptbl (id BIGINT, part STRING) USING parquet "
+        f"PARTITIONED BY (part) LOCATION '{loc}'"
+    )
+    spark.sql("INSERT INTO r5_ptbl VALUES (1, 'x')")
+    try:
+        t1 = _input_token(spark.table("r5_ptbl"))
+        assert t1.startswith("files:")
+        # file-walk identity still invalidates on new data
+        spark.sql("INSERT INTO r5_ptbl VALUES (2, 'x')")
+        assert _input_token(spark.table("r5_ptbl")) != t1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r5_ptbl")
+
+
+def test_input_token_plain_reads_unchanged(spark, tmp_path):
+    """Non-catalog inputs keep the round-4 contract: file-walk token for
+    path reads, semanticHash for in-memory relations."""
+    from bern_spark.pipeline import _input_token
+
+    p = str(tmp_path / "plain")
+    spark.range(10).write.parquet(p)
+    assert _input_token(spark.read.parquet(p)).startswith("files:")
+    assert _input_token(spark.range(5)).startswith("plan:")
+
+
 def test_minhash_signature_stable_across_plan_constructions(spark):
     """Regression (round-5 find): ``lambda g, p=p`` in minhash_signature
     was a TWO-parameter lambda, which F.transform treats as
