@@ -1129,6 +1129,75 @@ def er_pipeline_on_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W4 word windows + W1-W6 framing (training-data export building blocks)
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_turns(d: DataFrame) -> DataFrame:
+    return d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    )
+
+
+def q_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 chunking through the REAL operator (operators/sentences.py
+    word_windows): windows-per-document, oracled by an independent
+    derivation — ceil(conll_token_count / 30) in DuckDB. Validates the
+    window arithmetic (sequence construction, empty-turn filter) without
+    re-asserting the shared token regex."""
+    from bern_spark.operators.sentences import word_windows
+
+    turns = _docs_as_turns(_read(spark, sf_dir, "documents"))
+    w = word_windows(turns, window_tokens=30)
+    return (
+        w.groupBy(F.col("conv_id").cast("long").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_windows"))
+    )
+
+
+SQL_WORD_WINDOWS = r"""
+SELECT doc_id,
+       CAST(CEIL(LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) / 30.0) AS BIGINT) AS n_windows
+FROM documents
+WHERE LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) > 0
+"""
+
+
+def q_ner_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W6 composed framing (jobs/export_tfrecords.frame_turns) over
+    documents-as-turns with a fixed deterministic vocab. Rows-only
+    driver check (WordPiece + sentence split are not SQL-expressible;
+    the per-kernel goldens live in tests/): emits one row per framed
+    window with a content checksum so row count and schema are pinned."""
+    from bern_spark.jobs.export_tfrecords import frame_turns
+
+    turns = _docs_as_turns(_read(spark, sf_dir, "documents"))
+    # fixed vocab: specials + the ER_DICT names + lowercase alphabet +
+    # digits + continuations — deterministic across runs and scales
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    toks += [n for _, n in ER_DICT]
+    toks += list(chars) + [f"##{c}" for c in chars] + ["##s"]
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(toks))}
+    f = frame_turns(turns, vocab, max_seq_length=64)
+    return f.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        "win_idx",
+        F.expr("aggregate(input_mask, 0L, (a, x) -> a + x)").alias("n_real_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform("input_ids", lambda x: x.cast("string")))
+        ).alias("ids_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1161,6 +1230,8 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     "orphan_ratio": q_orphan_ratio,
+    "word_windows": q_word_windows,
+    "ner_framing": q_ner_framing,  # rows-only: WordPiece framing
 }
 
 ORACLES = {
@@ -1191,4 +1262,5 @@ ORACLES = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "orphan_ratio": SQL_ORPHAN_RATIO,
+    "word_windows": SQL_WORD_WINDOWS,
 }

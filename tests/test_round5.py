@@ -419,6 +419,30 @@ def test_export_job_spark_submit(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# New driver-contract queries: word_windows (oracled) + ner_framing
+# (rows-only, determinism pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_word_windows_query_matches_oracle(spark):
+    from bern_spark.oracle_check import run_all
+
+    res = run_all(spark, "/root/testdata/sf0.001", names=["word_windows"])
+    assert res[0]["ok"], res[0]
+    assert res[0]["rows"] > 0
+
+
+def test_ner_framing_query_deterministic(spark):
+    from bern_spark.entry_queries import QUERIES
+
+    a = QUERIES["ner_framing"](spark, "/root/testdata/sf0.001").collect()
+    b = QUERIES["ner_framing"](spark, "/root/testdata/sf0.001").collect()
+    assert len(a) == len(b) > 0
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    assert all(r["n_real_tokens"] >= 3 for r in a)  # [CLS] + >=1 + [SEP]
+
+
+# ---------------------------------------------------------------------------
 # Catalog-table fingerprint path (VERDICT r4 item 4): O(1) identity for
 # table inputs, invalidating on table change, no inputFiles() listing.
 # ---------------------------------------------------------------------------
