@@ -140,6 +140,110 @@ class LineageStore:
         self._write_manifest(stage, payload)
         return spark.read.parquet(path)
 
+    # -- file-bucketed incremental stage -----------------------------------
+
+    def run_file_bucketed_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        input_df: DataFrame,
+        transform_fn,
+        n_buckets: int = 16,
+        progress_jobs: int = 4,
+        fingerprint: str | None = None,
+    ) -> DataFrame:
+        """Incremental stage for PER-ROW transforms over a bare file scan:
+        buckets are groups of input FILES (deterministic name hash) and
+        each sub-job READS ONLY its buckets' files — unlike
+        :meth:`run_bucketed_stage`, whose computed ``_bucket`` filter
+        cannot push down and therefore rescans the full input once per
+        sub-job (measured +28% on the 30M-turn extract at
+        ``progress_jobs=4``). Here total scan cost across all sub-jobs is
+        one pass, so resume granularity is ~free.
+
+        Caller contract (enforced by the pipeline, not checkable here):
+        ``transform_fn`` must be row-local — rows co-bucket by file, not
+        by any key, so ANY cross-row grouping inside the transform sees
+        only a file-subset. For keyed transforms use
+        :meth:`run_bucketed_stage`.
+
+        ``input_df`` must be a bare scan (no filters/projections): the
+        sub-jobs re-read the listed files directly, so any plan on top
+        of the scan would be silently dropped — callers verify via
+        plan-leaf inspection before routing here (see
+        ``resolve_entities``). Bucket->file assignment is stable across
+        driver restarts (crc32 of the file path), and the fingerprint
+        carries the input identity, so resume never mixes file sets."""
+        import zlib
+        from functools import reduce
+
+        files = sorted(input_df.inputFiles())
+        if not files:
+            raise ValueError(
+                "run_file_bucketed_stage requires file-backed input; use "
+                "run_bucketed_stage (hash buckets) for in-memory relations"
+            )
+        man = self.read_manifest(stage)
+        if man is not None and (
+            man.get("layout") != f"{_BUCKET_LAYOUT}-files"
+            or man.get("n_buckets") != n_buckets
+            or (fingerprint is not None and man.get("fingerprint") != fingerprint)
+        ):
+            man = None
+        path = self._dpath(stage)
+        if man is None and os.path.exists(path):
+            shutil.rmtree(path)  # see run_bucketed_stage: stale-dir hazard
+        if man is None:
+            man = {
+                "status": "in_progress",
+                "stage": stage,
+                "layout": f"{_BUCKET_LAYOUT}-files",
+                "n_buckets": n_buckets,
+                "fingerprint": fingerprint,
+                "done_buckets": [],
+            }
+        if man.get("status") == "complete":
+            return spark.read.parquet(path)
+        done = set(man.get("done_buckets", []))
+        remaining = [b for b in range(n_buckets) if b not in done]
+
+        bucket_files: dict[int, list[str]] = {b: [] for b in range(n_buckets)}
+        for f in files:
+            bucket_files[zlib.crc32(f.encode()) % n_buckets].append(f)
+        schema = input_df.schema
+        n_jobs = max(1, min(progress_jobs, len(remaining)))
+        chunks = [remaining[i::n_jobs] for i in range(n_jobs)]
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        t0 = time.time()
+        try:
+            for chunk in chunks:
+                parts = [
+                    transform_fn(
+                        spark.read.schema(schema).parquet(*bucket_files[b])
+                    ).withColumn("_bucket", F.lit(b))
+                    for b in chunk
+                    if bucket_files[b]
+                ]
+                if parts:
+                    out = reduce(lambda x, y: x.unionByName(y), parts)
+                    obs = Observation(f"lineage_{stage}_{next(_obs_counter)}")
+                    out.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                        "overwrite"
+                    ).partitionBy("_bucket").parquet(path)
+                    man["rows_done"] = man.get("rows_done", 0) + obs.get["rows"]
+                done.update(chunk)  # file-less buckets complete trivially
+                man["done_buckets"] = sorted(done)
+                self._write_manifest(stage, man)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        man["status"] = "complete"
+        man["rows"] = man.get("rows_done", 0)
+        man["wall_sec"] = round(time.time() - t0, 3)
+        man["ts"] = time.time()
+        self._write_manifest(stage, man)
+        return spark.read.parquet(path)
+
     # -- bucketed incremental stage ----------------------------------------
 
     def run_bucketed_stage(

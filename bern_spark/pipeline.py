@@ -215,6 +215,26 @@ def pipeline_fingerprint(
     return hashlib.sha256("|".join(toks).encode()).hexdigest()
 
 
+def _bare_file_scan(df: DataFrame) -> bool:
+    """True iff ``df`` is exactly a file-backed leaf scan — no filters or
+    projections on top (they would be silently dropped by a file-level
+    re-read), and no partition-derived columns (re-reading leaf files
+    with an explicit schema cannot reconstruct directory-encoded
+    values). Routing gate for ``run_file_bucketed_stage``; any doubt
+    returns False (the hash-bucketed path is always correct)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.children().isEmpty():
+            return False
+        files = df.inputFiles()
+        if not files:
+            return False
+        sample = df.sparkSession.read.parquet(files[0])
+        return sample.columns == df.columns
+    except Exception:
+        return False
+
+
 @dataclass
 class ERConfig:
     score_threshold: float = 0.85
@@ -313,23 +333,40 @@ def resolve_entities(
     if lineage_store is not None and cfg.extract_buckets > 0:
         # Bucketed incremental extract (VERDICT r4 item 3): valid because
         # extraction is per-turn — no cross-conv_id interaction — so any
-        # conv_id bucket can run as its own sub-job. The transform
-        # recomputes _bucket from conv_id (same pmod-hash the store uses)
-        # instead of threading the column through the extractor.
+        # row partition can run as its own sub-job.
         _stage_no[0] += 1
+        name = f"stage_{_stage_no[0]:02d}"
         n_b = cfg.extract_buckets
-        mentions = lineage_store.run_bucketed_stage(
-            spark,
-            f"stage_{_stage_no[0]:02d}",
-            transcripts,
-            ["conv_id"],
-            lambda df: _build_mentions(df.drop("_bucket")).withColumn(
-                "_bucket", F.pmod(F.hash("conv_id"), F.lit(n_b))
-            ),
-            n_buckets=n_b,
-            progress_jobs=cfg.extract_progress_jobs,
-            fingerprint=fp,
-        ).drop("_bucket")
+        if _bare_file_scan(transcripts):
+            # file-bucketed: each sub-job reads ONLY its buckets' files —
+            # one total input pass across all sub-jobs (the hash-bucketed
+            # path below rescans per sub-job: measured +28% at 30M turns)
+            mentions = lineage_store.run_file_bucketed_stage(
+                spark,
+                name,
+                transcripts,
+                _build_mentions,
+                n_buckets=n_b,
+                progress_jobs=cfg.extract_progress_jobs,
+                fingerprint=fp,
+            ).drop("_bucket")
+        else:
+            # in-memory / filtered / partitioned inputs: hash buckets on
+            # conv_id; the transform recomputes _bucket from conv_id
+            # (same pmod-hash the store uses) instead of threading the
+            # column through the extractor
+            mentions = lineage_store.run_bucketed_stage(
+                spark,
+                name,
+                transcripts,
+                ["conv_id"],
+                lambda df: _build_mentions(df.drop("_bucket")).withColumn(
+                    "_bucket", F.pmod(F.hash("conv_id"), F.lit(n_b))
+                ),
+                n_buckets=n_b,
+                progress_jobs=cfg.extract_progress_jobs,
+                fingerprint=fp,
+            ).drop("_bucket")
     else:
         mentions = cut(_build_mentions(transcripts))
     normalized = normalize_all(mentions, dicts)
