@@ -1,6 +1,11 @@
-"""Round-5 tests: bench artifact shape guard (VERDICT r4 items 1/2/9),
-ADVICE r4 fixes (WAV truncation, remote cache handle, crawl checkpoint),
-and the crawl politeness knobs (VERDICT r4 item 8)."""
+"""Round-5 tests, one section per VERDICT r4 / ADVICE r4 item: bench
+artifact shape guard (items 1/2/9), MP4 decode (6), composed TFRecord
+export job (5), driver-contract queries for its building blocks,
+catalog-table fingerprints (4), bucketed + file-bucketed flagship
+extract with kill-and-resume (3), the minhash plan-construction
+determinism regression that work exposed, remote-fetch exactly-once
+hardening and politeness knobs (8 + ADVICE), and WAV truncation
+(ADVICE)."""
 
 from __future__ import annotations
 
