@@ -136,6 +136,7 @@ def fetch_pubtator(
     unescape_html: bool = True,
     max_retries: int = 2,
     backoff_sec: float = 0.5,
+    request_delay_sec: float = 0.0,
     cache: bool = False,
     return_raw: bool = False,
 ):
@@ -164,6 +165,7 @@ def fetch_pubtator(
         unescape_html=unescape_html,
         max_retries=max_retries,
         backoff_sec=backoff_sec,
+        request_delay_sec=request_delay_sec,
     )
     if cache:
         raw = raw.localCheckpoint(eager=True)
@@ -197,6 +199,7 @@ def refetch(
     unescape_html: bool = True,
     max_retries: int = 2,
     backoff_sec: float = 0.5,
+    request_delay_sec: float = 0.0,
     cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Resubmit a quarantine relation (``batch_pmids``, ``error``) from a
@@ -214,6 +217,7 @@ def refetch(
         unescape_html=unescape_html,
         max_retries=max_retries,
         backoff_sec=backoff_sec,
+        request_delay_sec=request_delay_sec,
         cache=cache,
     )
 
