@@ -223,17 +223,20 @@ class LineageStore:
         # un-statable files (object store) skip the tuning.
         mpb_key = "spark.sql.files.maxPartitionBytes"
         prev_mpb = spark.conf.get(mpb_key)
-        try:
-            sizes = []
-            for f in files:
-                p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
-                sizes.append(os.stat(p).st_size)
-            per_bucket = sum(sizes) / max(1, sum(1 for b in bucket_files.values() if b))
-            cores = spark.sparkContext.defaultParallelism
-            split = int(max(1 << 22, per_bucket // max(1, cores)))
-            spark.conf.set(mpb_key, str(split))
-        except OSError:
-            pass
+        if os.environ.get("SPARK_GRAFT_FB_SPLIT_TUNE", "1") != "0":
+            try:
+                sizes = []
+                for f in files:
+                    p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+                    sizes.append(os.stat(p).st_size)
+                per_bucket = sum(sizes) / max(
+                    1, sum(1 for b in bucket_files.values() if b)
+                )
+                cores = spark.sparkContext.defaultParallelism
+                split = int(max(1 << 22, per_bucket // max(1, cores)))
+                spark.conf.set(mpb_key, str(split))
+            except OSError:
+                pass
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         t0 = time.time()
