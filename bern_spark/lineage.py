@@ -213,30 +213,14 @@ class LineageStore:
         schema = input_df.schema
         n_jobs = max(1, min(progress_jobs, len(remaining)))
         chunks = [remaining[i::n_jobs] for i in range(n_jobs)]
-        # Per-bucket reads see only ~n_files/n_buckets files; at the
-        # default 128 MB split size that is often FEWER scan partitions
-        # than cores, and a transform with a parallelism floor (the
-        # extract stage repartitions narrow inputs) would pay a shuffle
-        # PER BUCKET. Shrinking the split size so each bucket's scan
-        # already yields >= defaultParallelism partitions removes those
-        # shuffles without touching the transform. Local-file stat only;
-        # un-statable files (object store) skip the tuning.
-        mpb_key = "spark.sql.files.maxPartitionBytes"
-        prev_mpb = spark.conf.get(mpb_key)
-        if os.environ.get("SPARK_GRAFT_FB_SPLIT_TUNE", "1") != "0":
-            try:
-                sizes = []
-                for f in files:
-                    p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
-                    sizes.append(os.stat(p).st_size)
-                per_bucket = sum(sizes) / max(
-                    1, sum(1 for b in bucket_files.values() if b)
-                )
-                cores = spark.sparkContext.defaultParallelism
-                split = int(max(1 << 22, per_bucket // max(1, cores)))
-                spark.conf.set(mpb_key, str(split))
-            except OSError:
-                pass
+        # Deliberately NO scan-split-size tuning here: shrinking
+        # spark.sql.files.maxPartitionBytes so each bucket's scan yields
+        # >= cores partitions (to skip the transform's parallelism-floor
+        # repartition) was A/B-measured at the 30M-turn corpus and LOST —
+        # stage wall +21% (mean 255.5s tuned vs 211.9s untuned,
+        # .scratch/fb_tune_ab.json): Arrow-UDF scans pay per-task worker
+        # batch-pipeline setup, so many small scan tasks cost more than
+        # the one narrow repartition shuffle they avoid.
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         t0 = time.time()
@@ -261,7 +245,6 @@ class LineageStore:
                 self._write_manifest(stage, man)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-            spark.conf.set(mpb_key, prev_mpb)
         man["status"] = "complete"
         man["rows"] = man.get("rows_done", 0)
         man["wall_sec"] = round(time.time() - t0, 3)
