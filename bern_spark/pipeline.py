@@ -254,15 +254,17 @@ class ERConfig:
     # (bern_spark.lineage) for resumability.
     checkpoint_stages: bool = True
     # Bucketed incremental EXTRACT stage (requires lineage_store): >0
-    # routes stage_01 through LineageStore.run_bucketed_stage, hashing
-    # conv_id into this many buckets written as progress_jobs
-    # partition-overwrite sub-jobs — a preemption mid-extract resumes at
-    # the last completed sub-job instead of restarting the stage. Extract
-    # is the one stage long enough to care (89% of the 4-core wall at
-    # 300M turns, BENCH.md r4); the other stages stay whole-stage
-    # run_stage. 0 = whole-stage extract (default: sub-job scheduling +
-    # the per-sub-job input scan cost ~additive overhead, only worth
-    # paying when preemption is real — measured overhead in BENCH.md r5).
+    # routes stage_01 through a resumable bucketed stage — a preemption
+    # mid-extract resumes at the last completed sub-job instead of
+    # restarting the stage. Extract is the one stage long enough to care
+    # (89% of the 4-core wall at 300M turns, BENCH.md r4); the other
+    # stages stay whole-stage run_stage. Bare-file-scan inputs take the
+    # file-bucketed path (sub-jobs read only their buckets' files — one
+    # total input pass; measured +0.6% total / ~+4% stage overhead at
+    # 8 buckets on the 30M bench, BENCH.md r5); other inputs take the
+    # hash-bucketed path (correct everywhere, but rescans per sub-job:
+    # +15.7% total at 16 buckets). 0 = whole-stage extract (default).
+    # Recommended at scale: 8 with the default 4 progress jobs.
     extract_buckets: int = 0
     extract_progress_jobs: int = 4
 
