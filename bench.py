@@ -174,8 +174,7 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         # bounded deterministic slice; examples/sec lands in the stats
         import shutil
 
-        from pyspark.sql import functions as F
-
+        from bern_spark.entry_queries import _docs_as_turns
         from bern_spark.jobs.export_tfrecords import build_vocab, export_tfrecords
 
         docs = (
@@ -183,14 +182,9 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
             .orderBy("doc_id")
             .limit(EXPORT_DOCS)
         )
-        turns = docs.select(
-            F.col("doc_id").cast("string").alias("conv_id"),
-            F.lit(0).cast("int").alias("turn_idx"),
-            F.lit("user").alias("role"),
-            F.col("text"),
-            F.lit(None).cast("string").alias("tool"),
-            F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
-        )
+        # same docs->turns mapping as the driver-checked queries (shared
+        # helper: the bench slice must never drift from the contract shape)
+        turns = _docs_as_turns(docs)
         # limit() collapses to one partition — restore engine parallelism
         # (the framing UDF chain inherits input partitioning), then
         # checkpoint so the timed runs bench the export, not the scan+sort

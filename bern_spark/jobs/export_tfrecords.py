@@ -115,8 +115,11 @@ def frame_turns(
         "chunk",
     )
     if mentions is not None:
+        # sort_array: collect_list order is task-scheduling-dependent, and
+        # bio_labels takes the first overlapping span — unsorted spans made
+        # labels nondeterministic across runs wherever mentions overlap
         spans = mentions.groupBy("conv_id", "turn_idx").agg(
-            F.collect_list(F.struct("start", "end")).alias("spans")
+            F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans")
         )
         wins = wins.join(spans, ["conv_id", "turn_idx"], "left")
     else:
@@ -202,7 +205,9 @@ def load_vocab(path: str) -> dict[str, int]:
     """BERT ``vocab.txt``: one token per line, id = line number
     (reference tokenization.py:286-296)."""
     with open(path, encoding="utf-8") as f:
-        return {line.rstrip("\n"): i for i, line in enumerate(f) if line.rstrip("\n")}
+        # strip() like the reference loader: a CRLF vocab.txt would
+        # otherwise key every token as 'tok\r' and frame pure [UNK]s
+        return {line.strip(): i for i, line in enumerate(f) if line.strip()}
 
 
 def build_vocab(

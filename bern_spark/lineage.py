@@ -51,6 +51,23 @@ _BUCKET_LAYOUT = "_bucket"
 _obs_counter = itertools.count()
 
 
+def _chunk_key(chunk) -> str:
+    return ",".join(str(b) for b in sorted(chunk))
+
+
+def _chunk_rows_map(man: dict) -> dict:
+    """Per-chunk row counts, keyed by the chunk's bucket ids so a chunk
+    re-run after a crash-between-write-and-manifest overwrites its entry
+    instead of double-counting. Manifests written before this key existed
+    carry their accumulated total forward as a one-time baseline."""
+    rows_by = man.get("rows_by_chunk")
+    if rows_by is None:
+        rows_by = man["rows_by_chunk"] = (
+            {"_legacy": man["rows_done"]} if man.get("rows_done") else {}
+        )
+    return rows_by
+
+
 class LineageStore:
     def __init__(self, base_dir: str):
         self.base = base_dir
@@ -224,6 +241,7 @@ class LineageStore:
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         t0 = time.time()
+        rows_by = _chunk_rows_map(man)
         try:
             for chunk in chunks:
                 parts = [
@@ -239,7 +257,11 @@ class LineageStore:
                     out.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                         "overwrite"
                     ).partitionBy("_bucket").parquet(path)
-                    man["rows_done"] = man.get("rows_done", 0) + obs.get["rows"]
+                    # keyed (not accumulated): a crash between the parquet
+                    # write and this manifest write re-runs the chunk, and
+                    # a re-recorded key overwrites instead of double-counting
+                    rows_by[_chunk_key(chunk)] = int(obs.get["rows"])
+                    man["rows_done"] = sum(rows_by.values())
                 done.update(chunk)  # file-less buckets complete trivially
                 man["done_buckets"] = sorted(done)
                 self._write_manifest(stage, man)
@@ -321,7 +343,7 @@ class LineageStore:
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         t0 = time.time()
-        new_rows = 0
+        rows_by = _chunk_rows_map(man)
         try:
             for chunk in chunks:
                 part = transform_fn(bucketed.where(F.col("_bucket").isin(chunk)))
@@ -329,15 +351,16 @@ class LineageStore:
                 part.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                     "overwrite"
                 ).partitionBy("_bucket").parquet(path)
-                new_rows += obs.get["rows"]
+                # keyed (not accumulated): see run_file_bucketed_stage
+                rows_by[_chunk_key(chunk)] = int(obs.get["rows"])
                 done.update(chunk)
                 man["done_buckets"] = sorted(done)
-                man["rows_done"] = man.get("rows_done", 0) + obs.get["rows"]
+                man["rows_done"] = sum(rows_by.values())
                 self._write_manifest(stage, man)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         man["status"] = "complete"
-        man["rows"] = man.get("rows_done", new_rows)
+        man["rows"] = man.get("rows_done", 0)
         man["wall_sec"] = round(time.time() - t0, 3)
         man["ts"] = time.time()
         self._write_manifest(stage, man)

@@ -121,7 +121,17 @@ def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
                     tok = f"table:{name}:snap:{snap}"
                 else:
                     try:
-                        tok = f"table:{name}:v:{table.version()}"  # Delta-style
+                        # version() is only PROOF of data identity on
+                        # connectors whose versions advance per commit;
+                        # gate on the Delta table class rather than
+                        # duck-typing — an unrelated version() method
+                        # (e.g. a protocol constant) would yield a stable
+                        # token across data changes and a stale resume
+                        impl = table.getClass().getName().lower()
+                        if "delta" in impl:
+                            tok = f"table:{name}:v:{table.version()}"
+                        else:
+                            tok = None
                     except Exception:
                         tok = None
             elif cls == "LogicalRelation" and leaf.catalogTable().isDefined():

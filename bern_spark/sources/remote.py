@@ -95,12 +95,17 @@ def fetch_pubtator_raw(
     def _fetch(batches):
         import pandas as pd
 
+        # partition-scoped flag: mapInPandas splits a partition into many
+        # Arrow batches, so an `i > 0` guard alone would skip the delay on
+        # each batch's first chunk and burst past the ~1/delay req/s bound
+        sent_any = False
         for pdf in batches:
             ids = [str(x) for x in pdf["pmid"]]
             rows = []
             for i in range(0, len(ids), batch_size):
-                if request_delay_sec > 0 and i > 0:
+                if request_delay_sec > 0 and sent_any:
                     _time.sleep(request_delay_sec)
+                sent_any = True
                 chunk = ids[i : i + batch_size]
                 url = PUBTATOR_EXPORT_URL.format(fmt=out_format, pmids=",".join(chunk))
                 text = err = None
@@ -147,15 +152,23 @@ def fetch_pubtator(
     quarantine relation of failed requests (resubmit via
     :func:`refetch`).
 
-    ``cache=True`` eagerly ``localCheckpoint``-s the raw response
-    relation: the GETs run ONCE at call time and the HTTP lineage is
-    truncated, so no downstream action (on docs or errors, however many)
-    can ever re-issue them — without it, each downstream action
-    re-evaluates the side-effecting fetch lineage (fine for a
-    single-action pipeline). The checkpointed relation (full response
-    bodies) has no caller-visible handle by default; pass
-    ``return_raw=True`` to get ``(docs, errors, raw)`` and release the
-    bodies with ``raw.unpersist()`` when done. For multi-round workflows
+    ``cache=True`` persists (MEMORY_AND_DISK) and eagerly materializes
+    the raw response relation: the GETs run ONCE at call time and every
+    downstream action (on docs or errors, however many) reads cached
+    blocks — without it, each downstream action re-evaluates the
+    side-effecting fetch lineage (fine for a single-action pipeline).
+    Persist, NOT ``localCheckpoint``: checkpoint blocks live on the RDD
+    outside the CacheManager, so ``Dataset.unpersist`` cannot release
+    them (measured on this Spark) and the full response bodies would
+    pin block-manager memory until JVM cleanup. The tradeoff is that
+    the fetch lineage still exists: an executor loss re-issues only the
+    lost partitions' GETs (never in single-JVM local mode; MEMORY_AND_DISK
+    blocks spill rather than evict under pressure). ``cache=True`` also
+    eagerly checkpoints the PARSED docs/errors (small, body-free), so no
+    later action can re-enter the fetch lineage — and therefore the raw
+    bodies are released immediately unless ``return_raw=True`` hands the
+    caller the relation (release it with ``raw.unpersist()`` when done,
+    which under persist is a real release). For multi-round workflows
     prefer :func:`crawl_pubtator`, which manages that release per
     round."""
     raw = fetch_pubtator_raw(
@@ -168,11 +181,33 @@ def fetch_pubtator(
         request_delay_sec=request_delay_sec,
     )
     if cache:
-        raw = raw.localCheckpoint(eager=True)
+        raw = _persist_raw(raw)
     docs, errors = _parse_raw(raw, filter_mutation_types)
+    if cache:
+        # checkpoint the PARSED relations (small — no response bodies):
+        # downstream actions never touch the fetch lineage again, so
+        # releasing raw can't cause a re-fetch
+        docs = docs.localCheckpoint(eager=True)
+        errors = errors.localCheckpoint(eager=True)
+        if not return_raw:
+            # no handle returned -> nothing would ever release the
+            # bodies; they are not needed past the parse, so free now
+            raw.unpersist()
     if return_raw:
         return docs, errors, raw
     return docs, errors
+
+
+def _persist_raw(raw: DataFrame) -> DataFrame:
+    """Cache + eagerly materialize a raw fetch relation so its GETs run
+    exactly once NOW and ``raw.unpersist()`` genuinely releases the
+    bodies afterwards (CacheManager persist — a ``localCheckpoint``'s
+    blocks survive ``Dataset.unpersist``, measured on this Spark)."""
+    from pyspark import StorageLevel
+
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    raw.count()  # materialize: downstream actions read blocks, not lineage
+    return raw
 
 
 def _parse_raw(raw: DataFrame, filter_mutation_types: bool) -> tuple[DataFrame, DataFrame]:
@@ -247,15 +282,16 @@ def crawl_pubtator(
     req/s. Defaults keep current behavior (no cap, no delay).
 
     Memory + exactly-once contract: each round's raw HTTP response
-    relation is itself eagerly ``localCheckpoint``-ed — the GETs run once
-    at that materialization and the side-effecting fetch lineage is
-    TRUNCATED, so nothing downstream (including the docs/errs jobs, even
-    across cache eviction) can ever re-issue a GET; block loss fails the
-    job rather than silently refetching. The round's PARSED docs and
+    relation is persisted (MEMORY_AND_DISK) and eagerly materialized —
+    the GETs run once at that materialization and the docs/errs jobs
+    read cached blocks (MEMORY_AND_DISK spills under pressure instead of
+    evicting; only an executor loss re-issues the lost partitions' GETs,
+    never in single-JVM local mode). The round's PARSED docs and
     quarantine rows (the actual results, small) are then checkpointed
-    too and the raw bodies unpersisted immediately — response bodies
-    never outlive their round and no cached relation leaks past the
-    call. Rounds are bounded driver-side jobs, not an unbounded
+    and the raw bodies released with a REAL unpersist (persist, not
+    ``localCheckpoint``, precisely so the release works) — response
+    bodies never outlive their round and no cached relation leaks past
+    the call. Rounds are bounded driver-side jobs, not an unbounded
     recursive plan."""
     filter_mut = fetch_kwargs.pop("filter_mutation_types", True)
     fetch_kwargs.pop("cache", None)  # superseded by per-round checkpoints
@@ -266,12 +302,15 @@ def crawl_pubtator(
             # coalesce, not repartition: narrowing needs no shuffle and a
             # pmid relation is tiny relative to the fetch it gates
             ids_df = ids_df.coalesce(max(1, max_inflight))
-        # checkpoint raw FIRST: once this returns, the HTTP lineage no
-        # longer exists anywhere — the docs/errs jobs below read
-        # checkpoint blocks (memory-and-disk), not the fetch plan
-        raw = fetch_pubtator_raw(
-            ids_df, transport=transport, batch_size=batch_size, **fetch_kwargs
-        ).localCheckpoint(eager=True)
+        # persist + materialize raw FIRST: the GETs run once here and the
+        # docs/errs jobs below read cached blocks, not the fetch plan
+        # (persist, not localCheckpoint, so the unpersist below actually
+        # frees the bodies — checkpoint blocks outlive Dataset.unpersist)
+        raw = _persist_raw(
+            fetch_pubtator_raw(
+                ids_df, transport=transport, batch_size=batch_size, **fetch_kwargs
+            )
+        )
         docs, errs = _parse_raw(raw, filter_mut)
         docs = docs.localCheckpoint(eager=True)
         errs = errs.localCheckpoint(eager=True)
