@@ -51,14 +51,29 @@ FRAMED_SCHEMA = (
 
 
 def bio_labels(
-    tokens: list[tuple[str, int, int]], base: int, spans: list[tuple[int, int]]
+    tokens: list[tuple[str, int, int]],
+    base: int,
+    spans: list[tuple[int, int]],
+    carry_in: bool = False,
 ) -> list[str]:
     """BIO over W2 tokens by char-span overlap: the first token of each
     mention span gets ``B``, later overlapping tokens ``I``, the rest
     ``O``. ``base`` shifts token offsets (window-relative) into the
-    coordinate system of ``spans`` (turn-absolute). Pure kernel."""
+    coordinate system of ``spans`` (turn-absolute). ``carry_in=True``
+    seeds the previous-span state from the character just before the
+    window start, so a mention split by a 30-token window boundary
+    continues as ``I`` in the next window instead of restarting ``B``
+    (the reference's CoNLL chunking carries labels through the W4 split,
+    run_ner.py; sentence starts still begin fresh). Pure kernel."""
     labels = []
     prev_span = None
+    if carry_in:
+        # the span covering char base-1, if any: [base-1, base) overlaps
+        # [s, e) iff s < base and e >= base
+        for s, e in spans:
+            if s < base and e >= base:
+                prev_span = (s, e)
+                break
     for _tok, ts, te in tokens:
         a, b = base + ts, base + te
         hit = None
@@ -143,7 +158,9 @@ def frame_turns(
                 words = [t[0] for t in toks]
                 if r.spans is not None and len(r.spans):
                     spans = [(int(s["start"]), int(s["end"])) for s in r.spans]
-                    labels = bio_labels(toks, int(r.abs_start), spans)
+                    labels = bio_labels(
+                        toks, int(r.abs_start), spans, carry_in=r.win_idx > 0
+                    )
                 else:
                     labels = ["O"] * len(words)
                 f = frame_features(

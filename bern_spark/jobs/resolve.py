@@ -82,9 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-lsh", action="store_true")
     p.add_argument("--embedding-cosine", action="store_true")
     p.add_argument(
-        "--extract-buckets", type=int, default=0,
+        "--extract-buckets", type=int, default=None,
         help="with --lineage-dir: run the extract stage as this many "
-        "conv_id hash buckets with mid-stage resume (0 = whole-stage)",
+        "buckets with mid-stage resume (0 = whole-stage). Default 8 when "
+        "--lineage-dir is set (file-bucketed overhead A/B-measured at "
+        "+0.6%% of the 30M-turn extract wall at 8 buckets, BENCH.md r5 — "
+        "vs hours of lost work on a crash at 10^12 turns), else 0.",
     )
     p.add_argument("--extract-progress-jobs", type=int, default=4)
     return p
@@ -124,6 +127,8 @@ def main(argv: list[str] | None = None) -> None:
     id_merge = spark.read.parquet(args.id_merge) if args.id_merge else None
 
     store = LineageStore(args.lineage_dir) if args.lineage_dir else None
+    if args.extract_buckets is None:
+        args.extract_buckets = 8 if args.lineage_dir else 0
     cfg = ERConfig(
         score_threshold=args.score_threshold,
         max_block_size=args.max_block_size,

@@ -168,6 +168,7 @@ class LineageStore:
         n_buckets: int = 16,
         progress_jobs: int = 4,
         fingerprint: str | None = None,
+        files: list[str] | None = None,
     ) -> DataFrame:
         """Incremental stage for PER-ROW transforms over a bare file scan:
         buckets are groups of input FILES (deterministic name hash) and
@@ -194,7 +195,11 @@ class LineageStore:
         import zlib
         from functools import reduce
 
-        files = sorted(input_df.inputFiles())
+        # the caller (resolve_entities) already listed the files to gate
+        # the route — accept that listing instead of paying a second
+        # O(files) driver walk; None keeps this method self-sufficient
+        if files is None:
+            files = sorted(input_df.inputFiles())
         if not files:
             raise ValueError(
                 "run_file_bucketed_stage requires file-backed input; use "

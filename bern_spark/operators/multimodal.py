@@ -225,6 +225,8 @@ def _decode_mp4(data: bytes) -> dict:
             continue
         for ctype, cs, ce in _iter_boxes(data, s, e):
             if ctype == b"mvhd":
+                if cs >= ce:  # empty payload: data[cs] would over-read
+                    raise ValueError("MP4: empty mvhd box")
                 ver = data[cs]
                 if ver == 1:  # vf(4) creation(8) modification(8) ts(4) dur(8)
                     if cs + 32 > ce:
@@ -244,6 +246,8 @@ def _decode_mp4(data: bytes) -> dict:
                     # width/height are the last 8 bytes of tkhd: 16.16
                     # fixed point, after vf + times/ids + layer/volume +
                     # the 36-byte matrix (v0 offset 76, v1 offset 88)
+                    if ts_ >= te:  # empty payload: data[ts_] over-reads
+                        raise ValueError("MP4: empty tkhd box")
                     off = ts_ + (88 if data[ts_] == 1 else 76)
                     if off + 8 > te:
                         raise ValueError("MP4: truncated tkhd")

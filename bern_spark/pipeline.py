@@ -31,9 +31,10 @@ from bern_spark.operators.scoring import score_pairs
 # Bump when stage semantics change: part of the lineage fingerprint, so a
 # resumed store never replays stage parquet written by incompatible code
 # (the reference's hash-named temp files, server.py:384-396, made explicit).
-PIPELINE_VERSION = "5"  # bumped when the fingerprint token format changes
-# (v5: plan tokens render via non-verbose treeString — every v4 store
-# invalidates once, explicitly, instead of via silent token drift)
+PIPELINE_VERSION = "6"  # bumped when stage OUTPUTS change, not just tokens
+# (v6: the blocking-stage MinHash seed capture fix — operators/blocking.py
+# _perm_min — changed LSH candidate sets; a v5 store must not resume with
+# pre-fix stage parquet. v5: plan tokens render via non-verbose treeString.)
 
 
 def _plan_token(df: DataFrame) -> str:
@@ -146,9 +147,20 @@ def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
                         else loc
                     )
                     st = os.stat(p)  # raises on remote/missing -> fallback
+                    # the root dir's (size, mtime_ns) moves on file
+                    # create/delete/rename but NOT on an in-place rewrite
+                    # of an existing data file (same name, e.g. by a
+                    # non-Spark writer) — fold the max child mtime from
+                    # one os.scandir so that case invalidates too; still
+                    # O(direct children), no recursion (unpartitioned
+                    # tables keep data files directly under the root)
+                    child_mtime = max(
+                        (e.stat().st_mtime_ns for e in os.scandir(p)),
+                        default=0,
+                    )
                     tok = (
                         f"table:{ct.identifier().toString()}:"
-                        f"dir:{st.st_size}:{st.st_mtime_ns}"
+                        f"dir:{st.st_size}:{st.st_mtime_ns}:{child_mtime}"
                     )
         except Exception:
             tok = None
@@ -225,24 +237,28 @@ def pipeline_fingerprint(
     return hashlib.sha256("|".join(toks).encode()).hexdigest()
 
 
-def _bare_file_scan(df: DataFrame) -> bool:
-    """True iff ``df`` is exactly a file-backed leaf scan — no filters or
-    projections on top (they would be silently dropped by a file-level
-    re-read), and no partition-derived columns (re-reading leaf files
-    with an explicit schema cannot reconstruct directory-encoded
-    values). Routing gate for ``run_file_bucketed_stage``; any doubt
-    returns False (the hash-bucketed path is always correct)."""
+def _bare_file_scan(df: DataFrame) -> list[str] | None:
+    """The sorted input-file list iff ``df`` is exactly a file-backed
+    leaf scan — no filters or projections on top (they would be silently
+    dropped by a file-level re-read), and no partition-derived columns
+    (re-reading leaf files with an explicit schema cannot reconstruct
+    directory-encoded values) — else None. Routing gate for
+    ``run_file_bucketed_stage``; any doubt returns None (the
+    hash-bucketed path is always correct). Returning the listing lets
+    the caller thread it through to the bucketed stage, so a flagship
+    run pays ONE driver-side file listing, not two — on a million-file
+    input the listing is the dominant driver cost of this route."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if not plan.children().isEmpty():
-            return False
-        files = df.inputFiles()
+            return None
+        files = sorted(df.inputFiles())
         if not files:
-            return False
+            return None
         sample = df.sparkSession.read.parquet(files[0])
-        return sample.columns == df.columns
+        return files if sample.columns == df.columns else None
     except Exception:
-        return False
+        return None
 
 
 @dataclass
@@ -349,7 +365,8 @@ def resolve_entities(
         _stage_no[0] += 1
         name = f"stage_{_stage_no[0]:02d}"
         n_b = cfg.extract_buckets
-        if _bare_file_scan(transcripts):
+        scan_files = _bare_file_scan(transcripts)
+        if scan_files:
             # file-bucketed: each sub-job reads ONLY its buckets' files —
             # one total input pass across all sub-jobs (the hash-bucketed
             # path below rescans per sub-job: measured +28% at 30M turns)
@@ -361,6 +378,7 @@ def resolve_entities(
                 n_buckets=n_b,
                 progress_jobs=cfg.extract_progress_jobs,
                 fingerprint=fp,
+                files=scan_files,
             ).drop("_bucket")
         else:
             # in-memory / filtered / partitioned inputs: hash buckets on

@@ -168,7 +168,9 @@ def fetch_pubtator(
     later action can re-enter the fetch lineage — and therefore the raw
     bodies are released immediately unless ``return_raw=True`` hands the
     caller the relation (release it with ``raw.unpersist()`` when done,
-    which under persist is a real release). For multi-round workflows
+    which under persist is a real release). ``return_raw=True``
+    therefore implies ``cache=True`` — the handle's release contract is
+    meaningless for an unpersisted relation. For multi-round workflows
     prefer :func:`crawl_pubtator`, which manages that release per
     round."""
     raw = fetch_pubtator_raw(
@@ -180,6 +182,12 @@ def fetch_pubtator(
         backoff_sec=backoff_sec,
         request_delay_sec=request_delay_sec,
     )
+    if return_raw:
+        # the return_raw contract ("release with raw.unpersist()") only
+        # holds for a persisted relation: an unpersisted raw would re-issue
+        # the side-effecting GETs on every downstream action and its
+        # unpersist() would be a no-op — so return_raw implies cache
+        cache = True
     if cache:
         raw = _persist_raw(raw)
     docs, errors = _parse_raw(raw, filter_mutation_types)

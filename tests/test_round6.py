@@ -1,0 +1,383 @@
+"""Round-6 regression tests: the four ADVICE r5 findings (BIO window
+carry-in, return_raw release contract, V1-catalog in-place rewrite
+detection, PIPELINE_VERSION invalidation), the Iceberg/Delta snapshot
+branch of the catalog fingerprint (VERDICT r5 item 1 — previously dead
+code under test), the single-listing-pass bucketed route (item 5), and
+adversarial MP4 box fuzzing (item 8)."""
+
+import os
+import struct
+
+import pytest
+
+from tests.test_round4 import _DOC
+
+# ---------------------------------------------------------------------------
+# ADVICE r5: bio_labels carry-in across the 30-token window split
+# ---------------------------------------------------------------------------
+
+
+def test_bio_labels_carry_in_unit():
+    from bern_spark.jobs.export_tfrecords import bio_labels
+
+    # span (0, 28) covers tokens in two windows; window 2 starts at
+    # base=20 mid-span ("leukemia" continues the mention)
+    win2 = [("leukemia", 0, 8), ("is", 9, 11)]
+    assert bio_labels(win2, 20, [(0, 28)]) == ["B", "O"]  # legacy restart
+    assert bio_labels(win2, 20, [(0, 28)], carry_in=True) == ["I", "O"]
+    # carry_in with NO span covering base-1: first token still opens B
+    assert bio_labels(win2, 20, [(20, 28)], carry_in=True) == ["B", "O"]
+    # carry_in where the continuing span differs from the first token's
+    # span: a span ending exactly at base does NOT cover char base-1+1
+    assert bio_labels(win2, 20, [(0, 20), (20, 28)], carry_in=True) == ["B", "O"]
+
+
+def test_frame_turns_bio_continues_across_window_split(spark):
+    """A mention spanning the W4 window boundary is labeled B in the
+    first window and I (not B) at the start of the next — one entity,
+    not two fragments, in training labels (reference CoNLL chunking
+    carries labels through the split, run_ner.py)."""
+    from bern_spark.functions.pytext import NER_LABELS
+    from bern_spark.jobs.export_tfrecords import build_vocab, frame_turns
+
+    label_of = {i: l for i, l in enumerate(NER_LABELS, 1)}
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "aa bb cc dd ee ff gg", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    # words: aa(0,2) bb(3,5) cc(6,8) dd(9,11) ee(12,14) ff(15,17) gg(18,20)
+    # window_tokens=4 -> win0 = aa..dd, win1 = ee..gg; span dd..ee crosses
+    mentions = spark.createDataFrame(
+        [("c1", 0, 9, 14)], "conv_id string, turn_idx int, start int, end int"
+    )
+    vocab = build_vocab(turns)
+    framed = {
+        r["win_idx"]: r
+        for r in frame_turns(
+            turns, vocab, mentions=mentions, window_tokens=4, max_seq_length=16
+        ).collect()
+    }
+    assert set(framed) == {0, 1}
+
+    def tags(r):
+        n = sum(r["input_mask"])
+        return [label_of[i] for i in r["label_ids"][1 : n - 1]]  # strip CLS/SEP
+
+    assert tags(framed[0]) == ["O", "O", "O", "B"]  # dd opens the mention
+    assert tags(framed[1]) == ["I", "O", "O"]  # ee CONTINUES it across the split
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5: return_raw implies cache — the release contract always holds
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_return_raw_forces_cache(spark, tmp_path):
+    """return_raw=True with cache=False (the ADVICE r5 hole): the raw
+    handle must still be a persisted relation — GETs run exactly once
+    regardless of how many downstream actions run, and raw.unpersist()
+    is a real release, matching the docstring contract."""
+    from bern_spark.sources.remote import fetch_pubtator
+
+    marker = str(tmp_path / "gets")
+
+    def counting(url, _m=marker):
+        with open(_m, "a") as f:
+            f.write("x")
+        return _DOC
+
+    pmids = spark.createDataFrame([("1001",)], ["pmid"]).coalesce(1)
+    docs, errors, raw = fetch_pubtator(
+        pmids, transport=counting, cache=False, return_raw=True
+    )
+    assert raw.storageLevel.useMemory  # persisted despite cache=False
+    for _ in range(3):
+        assert docs.count() == 1
+    assert errors.count() == 0
+    raw.unpersist()
+    assert not raw.storageLevel.useMemory
+    assert docs.count() == 1  # parsed relations are checkpointed, no refetch
+    with open(marker) as f:
+        assert len(f.read()) == 1  # exactly one GET ever
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5: V1 catalog token must see in-place data-file rewrites
+# ---------------------------------------------------------------------------
+
+
+def test_v1_catalog_token_detects_inplace_rewrite(spark, tmp_path):
+    """An external writer rewriting an existing data file in place (same
+    name) changes neither the root dir's size nor its mtime — the token
+    folds the max child mtime from one os.scandir so this invalidates."""
+    from bern_spark.pipeline import _input_token
+
+    loc = str(tmp_path / "rtbl")
+    spark.sql("DROP TABLE IF EXISTS r6_rtbl")
+    spark.sql(
+        f"CREATE TABLE r6_rtbl (id BIGINT, v STRING) USING parquet LOCATION '{loc}'"
+    )
+    spark.sql("INSERT INTO r6_rtbl VALUES (1, 'a')")
+    try:
+        t1 = _input_token(spark.table("r6_rtbl"))
+        assert t1.startswith("cat:table:")
+        data_files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+        assert data_files
+        # simulate the in-place rewrite: same name/content, newer mtime;
+        # the directory stat is untouched by a child utime
+        target = os.path.join(loc, data_files[0])
+        st = os.stat(target)
+        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000_000))
+        t2 = _input_token(spark.table("r6_rtbl"))
+        assert t2 != t1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r6_rtbl")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 item 1: the Iceberg/Delta snapshot branch, exercised.
+# No Iceberg connector ships in this container, so the py4j surface the
+# branch duck-types (getClass/getSimpleName, table().name()/properties()/
+# version()) is faked with plain Python objects — the branch only ever
+# touches that surface, so the fake exercises exactly the shipped code.
+# ---------------------------------------------------------------------------
+
+
+class _JClass:
+    def __init__(self, name, simple):
+        self._n, self._s = name, simple
+
+    def getName(self):
+        return self._n
+
+    def getSimpleName(self):
+        return self._s
+
+
+class _JMap:
+    def __init__(self, d):
+        self._d = d
+
+    def get(self, k):  # java.util.Map.get: null -> py4j None
+        return self._d.get(k)
+
+
+class _JTable:
+    def __init__(self, name, props=None, cls="org.apache.iceberg.spark.source.SparkTable", version=None):
+        self._name, self._props, self._cls, self._ver = name, props, cls, version
+
+    def name(self):
+        return self._name
+
+    def properties(self):
+        if self._props is None:
+            raise RuntimeError("no properties()")
+        return _JMap(self._props)
+
+    def version(self):
+        if self._ver is None:
+            raise RuntimeError("no version()")
+        return self._ver
+
+    def getClass(self):
+        return _JClass(self._cls, self._cls.rsplit(".", 1)[-1])
+
+
+class _JLeaf:
+    def __init__(self, table, simple="DataSourceV2Relation"):
+        self._t, self._s = table, simple
+
+    def getClass(self):
+        return _JClass(f"org.apache.spark.fake.{self._s}", self._s)
+
+    def table(self):
+        return self._t
+
+
+class _JLeaves:
+    def __init__(self, leaves):
+        self._l = leaves
+
+    def size(self):
+        return len(self._l)
+
+    def apply(self, i):
+        return self._l[i]
+
+
+def _fake_df(*leaves):
+    class _QE:
+        def analyzed(self):
+            class _Plan:
+                def collectLeaves(self):
+                    return _JLeaves(list(leaves))
+
+            return _Plan()
+
+    class _JDF:
+        def queryExecution(self):
+            return _QE()
+
+    class _DF:
+        _jdf = _JDF()
+
+    return _DF()
+
+
+def test_catalog_leaf_tokens_iceberg_snapshot():
+    """A DataSourceV2Relation whose table properties carry Iceberg's
+    current-snapshot-id yields the O(1) snapshot token; a new snapshot
+    id invalidates; shape is one token per leaf."""
+    from bern_spark.pipeline import _catalog_leaf_tokens
+
+    df1 = _fake_df(_JLeaf(_JTable("cat.db.turns", {"current-snapshot-id": "123"})))
+    assert _catalog_leaf_tokens(df1) == ["table:cat.db.turns:snap:123"]
+    # commit -> new snapshot id -> different token (exact invalidation)
+    df2 = _fake_df(_JLeaf(_JTable("cat.db.turns", {"current-snapshot-id": "124"})))
+    assert _catalog_leaf_tokens(df2) != _catalog_leaf_tokens(df1)
+    # multi-leaf: one token per leaf, order-stable
+    df3 = _fake_df(
+        _JLeaf(_JTable("cat.db.turns", {"current-snapshot-id": "123"})),
+        _JLeaf(_JTable("cat.db.lex", {"current-snapshot-id": "9"})),
+    )
+    assert _catalog_leaf_tokens(df3) == [
+        "table:cat.db.turns:snap:123",
+        "table:cat.db.lex:snap:9",
+    ]
+
+
+def test_catalog_leaf_tokens_delta_version_gate():
+    """No snapshot property: the version() accessor is trusted ONLY for
+    Delta table classes — an unrelated version() method on another
+    connector must NOT mint a token (stale-resume risk beats O(1))."""
+    from bern_spark.pipeline import _catalog_leaf_tokens
+
+    delta = _JTable(
+        "d.t", props={}, cls="org.apache.spark.sql.delta.catalog.DeltaTableV2",
+        version=7,
+    )
+    assert _catalog_leaf_tokens(_fake_df(_JLeaf(delta))) == ["table:d.t:v:7"]
+    assert _catalog_leaf_tokens(
+        _fake_df(_JLeaf(_JTable(
+            "d.t", props={},
+            cls="org.apache.spark.sql.delta.catalog.DeltaTableV2", version=8,
+        )))
+    ) != ["table:d.t:v:7"]
+    # same shape, non-Delta class: version() must be ignored -> None
+    other = _JTable("o.t", props={}, cls="com.example.OtherTable", version=7)
+    assert _catalog_leaf_tokens(_fake_df(_JLeaf(other))) is None
+
+
+def test_catalog_leaf_tokens_unprovable_branches_fall_back():
+    """Every branch that cannot PROVE identity returns None (file-walk
+    fallback): properties() raising, snapshot absent without a Delta
+    version, an unknown leaf class, and a mixed provable/unprovable
+    plan (ANY unprovable leaf voids the whole token list)."""
+    from bern_spark.pipeline import _catalog_leaf_tokens
+
+    no_props = _JTable("x.t", props=None, cls="com.example.T")
+    assert _catalog_leaf_tokens(_fake_df(_JLeaf(no_props))) is None
+    unknown_leaf = _JLeaf(_JTable("x.t", {"current-snapshot-id": "1"}), simple="Project")
+    assert _catalog_leaf_tokens(_fake_df(unknown_leaf)) is None
+    iceberg = _JLeaf(_JTable("i.t", {"current-snapshot-id": "5"}))
+    bad = _JLeaf(_JTable("x.t", props=None, cls="com.example.T"))
+    assert _catalog_leaf_tokens(_fake_df(iceberg, bad)) is None
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 item 5: one listing per flagship bucketed run
+# ---------------------------------------------------------------------------
+
+
+def test_bare_file_scan_returns_listing_and_stage_accepts_it(spark, tmp_path):
+    from bern_spark.lineage import LineageStore
+    from bern_spark.pipeline import _bare_file_scan
+
+    p = str(tmp_path / "scan")
+    spark.range(100).selectExpr("id", "cast(id as string) v").repartition(4).write.parquet(p)
+    df = spark.read.parquet(p)
+    files = _bare_file_scan(df)
+    assert files == sorted(df.inputFiles())
+    # non-bare plans gate to None
+    assert _bare_file_scan(df.where("id > 3")) is None
+    assert _bare_file_scan(df.select("id")) is None
+    assert _bare_file_scan(spark.range(5)) is None
+
+    # the threaded listing is authoritative: the stage must not re-list
+    df2 = spark.read.parquet(p)
+    df2.inputFiles = lambda: (_ for _ in ()).throw(AssertionError("re-listed"))
+    store = LineageStore(str(tmp_path / "lin"))
+    out = store.run_file_bucketed_stage(
+        spark, "s01", df2, lambda d: d.selectExpr("id", "v"),
+        n_buckets=4, progress_jobs=2, fingerprint="fp", files=files,
+    )
+    assert out.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 item 8: adversarial MP4 box fuzzing (hypothesis)
+# ---------------------------------------------------------------------------
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_BOX_TYPES = [b"moov", b"mvhd", b"trak", b"tkhd", b"free", b"mdat", b"ftyp"]
+
+
+@st.composite
+def _box_bytes(draw, depth=0):
+    """One ISO-BMFF box with an adversarial size field: correct,
+    0 (to-end), 1+largesize (correct or lying), or a random lie —
+    payload either random bytes or (shallowly) nested boxes."""
+    btype = draw(st.sampled_from(_BOX_TYPES))
+    if depth < 2 and draw(st.booleans()):
+        kids = draw(st.lists(_box_bytes(depth=depth + 1), min_size=0, max_size=3))
+        payload = b"".join(kids)
+    else:
+        payload = draw(st.binary(min_size=0, max_size=120))
+    mode = draw(st.sampled_from(["ok", "zero", "large_ok", "large_lie", "lie"]))
+    if mode == "ok":
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+    if mode == "zero":
+        return struct.pack(">I", 0) + btype + payload
+    if mode == "large_ok":
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(payload)) + payload
+    if mode == "large_lie":
+        lie = draw(st.integers(min_value=0, max_value=2**63 - 1))
+        return struct.pack(">I", 1) + btype + struct.pack(">Q", lie) + payload
+    lie = draw(st.integers(min_value=2, max_value=2**32 - 1))
+    return struct.pack(">I", lie) + btype + payload
+
+
+@given(
+    boxes=st.lists(_box_bytes(), min_size=0, max_size=5),
+    prefix_ftyp=st.booleans(),
+    trailing=st.binary(max_size=20),
+)
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_mp4_walker_parses_or_raises_never_hangs(boxes, prefix_ftyp, trailing):
+    """Adversarial box streams (sizes 0/1-largesize/overflowing/random):
+    _decode_mp4 must return a dict or raise ValueError — never hang,
+    loop, over-read (IndexError/struct.error), or return garbage types
+    (same fuzz discipline the JPEG/WAV parsers got in r4)."""
+    from bern_spark.operators.multimodal import _decode_mp4
+
+    data = b"".join(boxes) + trailing
+    if prefix_ftyp:
+        data = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4 + data
+    try:
+        out = _decode_mp4(data)
+    except ValueError:
+        return
+    assert isinstance(out, dict)
+    assert set(out) == {"width", "height", "duration_ms"}
+    assert out["duration_ms"] is not None
+
+
+def test_pipeline_version_bumped_for_minhash_seed_fix():
+    """The r5 MinHash seed-capture fix changed blocking-stage outputs; a
+    v5 lineage store must not resume into post-fix code (ADVICE r5)."""
+    from bern_spark.pipeline import PIPELINE_VERSION
+
+    assert int(PIPELINE_VERSION) >= 6
