@@ -1168,23 +1168,29 @@ WHERE LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) > 0
 """
 
 
+def _fixed_framing_vocab() -> dict[str, int]:
+    """Fixed vocab for driver framing checks: specials + the ER_DICT
+    names + lowercase alphabet + digits + continuations — deterministic
+    across runs and scales."""
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    toks += [n for _, n in ER_DICT]
+    toks += list(chars) + [f"##{c}" for c in chars] + ["##s"]
+    return {t: i for i, t in enumerate(dict.fromkeys(toks))}
+
+
 def q_ner_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-W6 composed framing (jobs/export_tfrecords.frame_turns) over
     documents-as-turns with a fixed deterministic vocab. Rows-only
     driver check (WordPiece + sentence split are not SQL-expressible;
     the per-kernel goldens live in tests/): emits one row per framed
-    window with a content checksum so row count and schema are pinned."""
+    window with a content checksum so row count and schema are pinned.
+    The SQL-expressible relational skeleton of the same composition is
+    fully oracled by :func:`q_ner_framing_shape`."""
     from bern_spark.jobs.export_tfrecords import frame_turns
 
     turns = _docs_as_turns(_read(spark, sf_dir, "documents"))
-    # fixed vocab: specials + the ER_DICT names + lowercase alphabet +
-    # digits + continuations — deterministic across runs and scales
-    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
-    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
-    toks += [n for _, n in ER_DICT]
-    toks += list(chars) + [f"##{c}" for c in chars] + ["##s"]
-    vocab = {t: i for i, t in enumerate(dict.fromkeys(toks))}
-    f = frame_turns(turns, vocab, max_seq_length=64)
+    f = frame_turns(turns, _fixed_framing_vocab(), max_seq_length=64)
     return f.select(
         "conv_id",
         "turn_idx",
@@ -1195,6 +1201,59 @@ def q_ner_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("input_ids", lambda x: x.cast("string")))
         ).alias("ids_md5"),
     )
+
+
+def q_ner_framing_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible relational skeleton of the W1-W6 framing
+    composition, fully DuckDB-oracled (the WordPiece/sentence kernels
+    stay golden-tested; this pins everything around them). Three
+    invariants per document, computed from the REAL frame_turns output:
+
+    - ``n_words``: sum of per-window W2 word counts across all framed
+      windows. Sentence spans tile the text (pytext.sentence_spans,
+      force_chunk=False) with boundaries only after non-alnum chars, so
+      no CoNLL token crosses a boundary, and windows tile each
+      sentence's tokens — the sum must equal the whole-text CoNLL token
+      count, which DuckDB derives independently with regexp_extract_all
+      (reference lossless-tokenization assert, ops.py:94).
+    - ``bad_windows``: windows violating the framing shape contract —
+      any feature array not exactly max_seq_length long
+      (run_ner.py:824-831 pads to the fixed frame) or a window holding
+      <1 or >30 W2 words (W4 bound). Oracle: 0.
+    - ``bi_label_tokens``: B/I label ids with no mentions relation —
+      inference framing labels every word O (run_ner.py:960-966).
+      Oracle: 0.
+    """
+    from bern_spark.jobs.export_tfrecords import frame_turns
+
+    turns = _docs_as_turns(_read(spark, sf_dir, "documents"))
+    msl = 64
+    f = frame_turns(turns, _fixed_framing_vocab(), max_seq_length=msl)
+    bad = (
+        (F.size("ntokens") != msl)
+        | (F.size("input_ids") != msl)
+        | (F.size("input_mask") != msl)
+        | (F.size("segment_ids") != msl)
+        | (F.size("label_ids") != msl)
+        | (F.col("n_words") < 1)
+        | (F.col("n_words") > 30)
+    ).cast("long")
+    bi = F.expr("size(filter(label_ids, x -> x = 1 OR x = 2))").cast("long")
+    return f.groupBy(F.col("conv_id").cast("long").alias("doc_id")).agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum(bad).alias("bad_windows"),
+        F.sum(bi).alias("bi_label_tokens"),
+    )
+
+
+SQL_NER_FRAMING_SHAPE = r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) AS BIGINT) AS n_words,
+       CAST(0 AS BIGINT) AS bad_windows,
+       CAST(0 AS BIGINT) AS bi_label_tokens
+FROM documents
+WHERE LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) > 0
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1232,6 +1291,7 @@ QUERIES = {
     "orphan_ratio": q_orphan_ratio,
     "word_windows": q_word_windows,
     "ner_framing": q_ner_framing,  # rows-only: WordPiece framing
+    "ner_framing_shape": q_ner_framing_shape,  # its oracled skeleton
 }
 
 ORACLES = {
@@ -1263,4 +1323,5 @@ ORACLES = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "orphan_ratio": SQL_ORPHAN_RATIO,
     "word_windows": SQL_WORD_WINDOWS,
+    "ner_framing_shape": SQL_NER_FRAMING_SHAPE,
 }

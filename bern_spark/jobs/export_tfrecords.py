@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FRAMED_SCHEMA = (
-    "conv_id string, turn_idx int, sent_idx int, win_idx int, "
+    "conv_id string, turn_idx int, sent_idx int, win_idx int, n_words int, "
     "ntokens array<string>, input_ids array<long>, input_mask array<long>, "
     "segment_ids array<long>, label_ids array<long>"
 )
@@ -102,8 +102,13 @@ def frame_turns(
     :func:`bern_spark.functions.pytext.frame_features`. Returns one row
     per (conv_id, turn_idx, sent_idx, win_idx) with the four NER feature
     arrays plus ``ntokens`` (the framed WordPiece stream, for W7
-    detokenize round-trips). Window/token offsets stay turn-absolute so
-    mention spans label without re-anchoring."""
+    detokenize round-trips) and ``n_words`` (the window's W2 word count
+    BEFORE WordPiece/framing — sentence spans tile the text and windows
+    tile each sentence's tokens, so per turn ``sum(n_words)`` equals the
+    turn's whole-text CoNLL token count; the driver's
+    ``ner_framing_shape`` oracle pins that invariant in SQL). Window/
+    token offsets stay turn-absolute so mention spans label without
+    re-anchoring."""
     import pandas as pd
 
     from bern_spark.functions.pytext import frame_features, tokenize_with_offsets
@@ -148,7 +153,7 @@ def frame_turns(
     def _frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab = bc_vocab.value
         cols = [
-            "conv_id", "turn_idx", "sent_idx", "win_idx",
+            "conv_id", "turn_idx", "sent_idx", "win_idx", "n_words",
             "ntokens", "input_ids", "input_mask", "segment_ids", "label_ids",
         ]
         for pdf in batches:
@@ -173,6 +178,7 @@ def frame_turns(
                 rows.append(
                     (
                         r.conv_id, r.turn_idx, r.sent_idx, r.win_idx,
+                        len(words),
                         f["ntokens"], f["input_ids"], f["input_mask"],
                         f["segment_ids"], f["label_ids"],
                     )

@@ -375,6 +375,46 @@ def test_mp4_walker_parses_or_raises_never_hangs(boxes, prefix_ftyp, trailing):
     assert out["duration_ms"] is not None
 
 
+# ---------------------------------------------------------------------------
+# VERDICT r5 item 3: the ner_framing relational skeleton, DuckDB-oracled
+# ---------------------------------------------------------------------------
+
+
+def test_frame_turns_n_words_tiles_conll_tokens(spark):
+    """sum(n_words) over all framed windows == whole-text CoNLL token
+    count: sentence spans tile the text and windows tile each sentence's
+    tokens, even when framing itself truncates (max_seq_length=32 forces
+    wordpiece truncation; n_words counts pre-framing W2 words)."""
+    from bern_spark.functions.pytext import conll_tokens
+    from bern_spark.jobs.export_tfrecords import build_vocab, frame_turns
+
+    text = (
+        "Aspirin helps. But EGFR mutations resist! "
+        + " ".join(f"w{i}" for i in range(75))
+        + "."
+    )
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", text, None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    f = frame_turns(
+        turns, build_vocab(turns), window_tokens=30, max_seq_length=32
+    ).collect()
+    assert sum(r["n_words"] for r in f) == len(conll_tokens(text))
+    assert all(1 <= r["n_words"] <= 30 for r in f)
+    assert any(r["win_idx"] > 0 for r in f)  # the long sentence windowed
+
+
+def test_ner_framing_shape_matches_oracle(spark):
+    """The driver-facing shape query hash-matches its DuckDB oracle at
+    sf0.001 (same compare the driver runs at sf0.01)."""
+    from bern_spark.oracle_check import run_all
+
+    res = run_all(spark, "/root/testdata/sf0.001", names=["ner_framing_shape"])
+    assert res[0]["ok"], res[0]
+    assert res[0]["rows"] > 0
+
+
 def test_pipeline_version_bumped_for_minhash_seed_fix():
     """The r5 MinHash seed-capture fix changed blocking-stage outputs; a
     v5 lineage store must not resume into post-fix code (ADVICE r5)."""
