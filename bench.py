@@ -326,7 +326,7 @@ STREAM_CONVS = 200_000  # ~1M turns (JVM-state scale path)
 STREAM_PY_CONVS = 20_000  # ~100k turns (per-key Python-state custom op)
 
 
-def run_streaming() -> dict:
+def run_streaming(repeats: int | None = None) -> dict:
     """Streaming-path throughput, availableNow trigger, same code the
     correctness tests pin (test_streaming_multimodal.py):
 
@@ -338,7 +338,20 @@ def run_streaming() -> dict:
       pandas group invocation per distinct key (~13 core-ms measured), so
       it is benched at a corpus size that keeps the official run bounded;
       its turns/sec is a per-key-cost number, not an engine ceiling.
-    """
+
+    The official ``dedup_builtin`` number is an INTERLEAVED median (its
+    repeats are spread across the whole streaming-bench wall, with the
+    custom run between them): the latency-bound streaming job amplifies
+    host tenancy ~4x more than any batch query (r5 measured 13-56s for
+    identical code+input within one hour), so a single sample is
+    meaningless — the median of interleaved repeats is the same
+    discipline ``run_headline`` applies to batch queries, and the raw
+    per-run samples ride in the side-filed stats so a reader can see the
+    spread. ``repeats`` defaults to 3 (env SPARK_GRAFT_STREAM_REPEATS);
+    no separate warmup — the median absorbs the first run's stream-init
+    cost. ``dedup_custom`` stays a single run when repeats > 1: at
+    ~100s/run it would dominate the bench wall, and its number is a
+    documented per-key-cost disclosure, not the engine headline."""
     import glob
     import shutil
 
@@ -366,7 +379,7 @@ def run_streaming() -> dict:
         )
         return corpus, n
 
-    def drive(n_convs: int, dedup_fn, tag: str) -> dict:
+    def drive(n_convs: int, dedup_fn, tag: str) -> tuple[float, int]:
         corpus, n_rows = corpus_for(n_convs)
         schema = spark.read.parquet(corpus).schema
         ckpt = f"/root/repo/.scratch/stream_bench_ckpt_{tag}"
@@ -384,18 +397,41 @@ def run_streaming() -> dict:
         q.awaitTermination()
         dt = time.time() - t0
         shutil.rmtree(ckpt, ignore_errors=True)
-        return {
-            "corpus_turns": n_rows,
-            "sec": round(dt, 2),
-            "turns_per_sec": round(n_rows / dt, 2),
-        }
+        return round(dt, 2), n_rows
 
-    return {
-        "dedup_builtin": drive(
-            STREAM_CONVS, streaming_dedup_mentions_builtin, "builtin"
-        ),
-        "dedup_custom": drive(STREAM_PY_CONVS, streaming_dedup_mentions, "custom"),
-    }
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_STREAM_REPEATS", "3"))
+    variants = [
+        # (name, convs, fn, tag, n_runs)
+        ("dedup_builtin", STREAM_CONVS, streaming_dedup_mentions_builtin,
+         "builtin", repeats),
+        ("dedup_custom", STREAM_PY_CONVS, streaming_dedup_mentions,
+         "custom", 1 if repeats > 1 else repeats),
+    ]
+    samples: dict[str, list[float]] = {v[0]: [] for v in variants}
+    turns: dict[str, int] = {}
+    for rnd in range(repeats):
+        for name, n_convs, fn, tag, n_runs in variants:  # interleaved
+            if rnd >= n_runs:
+                continue
+            sec, n_rows = drive(n_convs, fn, tag)
+            samples[name].append(sec)
+            turns[name] = n_rows
+    out: dict = {}
+    for name, *_rest in variants:
+        n = len(samples[name])
+        med = sorted(samples[name])[n // 2]
+        out[name] = {
+            "corpus_turns": turns[name],
+            "sec": med,
+            "turns_per_sec": round(turns[name] / med, 2),
+            "samples_sec": samples[name],
+            "method": (
+                f"interleaved median-of-{n}" if n > 1
+                else "single run (per-key-cost disclosure)"
+            ),
+        }
+    return out
 
 
 def main() -> None:
