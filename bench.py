@@ -205,6 +205,32 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
             records["n"] / stats["tfrecord_export"]["median"], 1
         )
         shutil.rmtree(out_dir, ignore_errors=True)
+        # Capacity-plan row (stats-only, NOT in the official medians so
+        # the tfrecord_export series stays round-comparable): one export
+        # over the 50k-doc lowdup corpus — 10x the official slice, so
+        # the three chained Python-stage launches that dominate the 5k
+        # wall amortize away and examples/sec/core approaches the
+        # sustained framing throughput a 100 TB plan extrapolates from.
+        if os.environ.get("SPARK_GRAFT_BENCH_EXPORT_SCALE", "1") != "0":
+            big = _docs_as_turns(
+                spark.read.parquet(f"{_lowdup_dir(spark)}/documents.parquet")
+            ).repartition(cpus).localCheckpoint(eager=True)
+            big_vocab = build_vocab(big)
+            t0 = time.time()
+            shutil.rmtree(out_dir, ignore_errors=True)
+            manifest = export_tfrecords(big, big_vocab, out_dir, shards=64)
+            n_big = sum(r["n_records"] for r in manifest.collect())
+            dt = time.time() - t0
+            shutil.rmtree(out_dir, ignore_errors=True)
+            stats["tfrecord_export_50k"] = {
+                "sec": round(dt, 2),
+                "examples": n_big,
+                "examples_per_sec": round(n_big / dt, 1),
+                "examples_per_sec_per_core": round(n_big / dt / cpus, 1),
+                "cores": cpus,
+                "method": "single run over the 50k lowdup corpus "
+                "(launch overhead amortized; capacity-plan row)",
+            }
     return medians, stats
 
 

@@ -241,7 +241,11 @@ def build_vocab(
     most frequent W2 tokens + full single-char and ``##``-continuation
     coverage of those tokens' alphabet, so framing degrades to char
     pieces instead of ``[UNK]`` floods. One distributed count + one
-    bounded collect."""
+    bounded collect (``limit(top_words)`` — never more than ``top_words``
+    rows reach the driver, whatever the corpus size). The count itself
+    still scans the full corpus though: at production scale derive the
+    vocab ONCE offline and load it with :func:`load_vocab` per job,
+    rather than paying a corpus scan inside every export."""
     from bern_spark.operators.extract import tokens_udf
 
     top = (
