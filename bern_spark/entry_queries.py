@@ -16,6 +16,8 @@ Registered in ``__spark_entry__`` as ``queries()`` / ``oracle_sql()``.
 
 from __future__ import annotations
 
+import string as _string
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -245,6 +247,45 @@ _SCORE_FIX_VALS = ", ".join(f"('{a}', '{b}')" for a, b in SCORE_PAIR_FIXTURE)
 from bern_spark.functions.pytext import _TOKEN_RE as _CONLL_TOKEN_RE  # noqa: E402
 
 _CONLL_RE = _CONLL_TOKEN_RE.pattern
+
+# tmChem key as a DuckDB expression: same definition as keys.tmchem_key
+# (lowercase, strip string.punctuation + whitespace), with the char class
+# rebuilt RE2-safe (']' first, '\\' escaped, '-' last) and SQL-quoted —
+# derived from the same string.punctuation constant so it cannot drift.
+_TMCHEM_SQL_CLASS = (
+    "[]"
+    + "".join(c for c in _string.punctuation if c not in "]\\-")
+    + "\\\\" + "\\s" + "-]"
+).replace("'", "''")
+
+
+def _tmk_sql(expr: str) -> str:
+    return f"regexp_replace(lower({expr}), '{_TMCHEM_SQL_CLASS}', '', 'g')"
+
+
+def _pair_score_sql(a: str, b: str, xa: str, xb: str, ta: str, tb: str) -> str:
+    """The ``pair_score_udf`` blend as one DuckDB expression (kernel
+    bit-parity pinned by the ``er_score_pairs`` driver row): exact ->
+    1.0, case-equal -> 0.99, else 0.5 JW + 0.35 Levenshtein-sim + 0.15
+    token-Jaccard. ``xa``/``xb`` are the lowercased surfaces and
+    ``ta``/``tb`` their distinct CoNLL token lists (precomputed by the
+    caller's CTE). Shared by SQL_ER_SCORE_PAIRS and SQL_ER_PIPELINE so
+    the two oracles cannot drift."""
+    return f"""CASE
+    WHEN {a} = {b} THEN 1.0
+    WHEN {xa} = {xb} THEN 0.99
+    ELSE 0.5 * jaro_winkler_similarity({xa}, {xb})
+       + 0.35 * (1.0 - CAST(levenshtein({xa}, {xb}) AS DOUBLE)
+                       / GREATEST(LENGTH({xa}), LENGTH({xb})))
+       + 0.15 * (CASE
+           WHEN len({ta}) = 0 AND len({tb}) = 0 THEN 1.0
+           WHEN len({ta}) = 0 OR len({tb}) = 0 THEN 0.0
+           ELSE CAST(len(list_intersect({ta}, {tb})) AS DOUBLE)
+                / len(list_distinct(list_concat({ta}, {tb})))
+         END)
+  END"""
+
+
 SQL_ER_SCORE_PAIRS = f"""
 WITH vocab AS (
   SELECT DISTINCT tok FROM (
@@ -264,19 +305,7 @@ s AS (
   FROM p
 )
 SELECT surface_a, surface_b,
-  ROUND(CASE
-    WHEN surface_a = surface_b THEN 1.0
-    WHEN xa = xb THEN 0.99
-    ELSE 0.5 * jaro_winkler_similarity(xa, xb)
-       + 0.35 * (1.0 - CAST(levenshtein(xa, xb) AS DOUBLE)
-                       / GREATEST(LENGTH(xa), LENGTH(xb)))
-       + 0.15 * (CASE
-           WHEN len(ta) = 0 AND len(tb) = 0 THEN 1.0
-           WHEN len(ta) = 0 OR len(tb) = 0 THEN 0.0
-           ELSE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
-                / len(list_distinct(list_concat(ta, tb)))
-         END)
-  END, 4) AS score
+  ROUND({_pair_score_sql("surface_a", "surface_b", "xa", "xb", "ta", "tb")}, 4) AS score
 FROM s
 """
 
@@ -1070,7 +1099,16 @@ GROUP BY 1
 def er_pipeline_on_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the real resolve_entities pipeline with documents mapped to the
     transcripts input shape (doc_id -> conv_id, one turn per doc) and the
-    inline ER_DICT as both lexicon and drug dictionary."""
+    inline ER_DICT as both lexicon and drug dictionary.
+
+    Fully DuckDB-oracled (SQL_ER_PIPELINE): every stage of this
+    configuration is relational, so the oracle independently re-derives
+    extraction (token index join), J1 normalization (tmChem key, min-oid
+    dedup), blocking (both key families), scoring (tmChem short-circuit +
+    the shared pair_score blend), the star edges, the connected-components
+    fixpoint (recursive min-label reachability), and the per-mention
+    cluster/norm_ids attach — and the driver hash-compares the two
+    end-to-end."""
     from pyspark.sql import types as T
 
     from bern_spark.pipeline import ERConfig, resolve_entities
@@ -1126,6 +1164,95 @@ def er_pipeline_on_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash array<string>); the library API keeps the array form.
         F.array_join("norm_ids", "|").alias("norm_ids"),
     )
+
+
+# The full-pipeline oracle. Faithful stage-by-stage relational re-derivation
+# of resolve_entities for the er_pipeline configuration (use_lsh=False,
+# max_block_size=10_000 -> no salting; single etype 'drug'; empty metadata):
+#
+#   mentions    = anchored extraction == token-index join (W2/W3; the
+#                 documents corpus is pre-normalized single-space text, so
+#                 canonical_text is identity and unigram lexicon matches are
+#                 exactly the token matches — longest-match/W9 are no-ops
+#                 for a unigram single-etype lexicon)
+#   normalized  = J1 tmChem-key join, MIN(oid) per key (normalize.py:33-52)
+#   surfaces    = distinct-surface relation (pipeline.py surf_oid)
+#   keyed/cand  = both block-key families (token key + fk full key,
+#                 blocking.py with_block_keys), UNION-deduped, pairs a<b
+#   scored      = score_pairs semantics: equal tmChem keys short-circuit to
+#                 1.0, else the shared _pair_score_sql blend
+#   edges       = sim edges (score >= 0.85) + surface->oid star edges
+#   labels      = connected_components: min node id per component via
+#                 recursive reachability (cc.py:75-80 contract)
+#   final       = mentions inherit their surface's cluster (fallback: own
+#                 surface node), norm_ids = ext_ids (empty) + BERN:oid
+SQL_ER_PIPELINE = f"""
+WITH RECURSIVE {_dict_cte()}, {_TOKS_SQL.strip()},
+mentions AS (
+  SELECT CAST(t.doc_id AS VARCHAR) AS conv_id, CAST(0 AS INTEGER) AS turn_idx,
+         CAST(t.start_off AS INTEGER) AS m_start,
+         CAST(t.start_off + LENGTH(t.tok) AS INTEGER) AS m_end,
+         t.tok AS mention
+  FROM toks t JOIN (SELECT DISTINCT name FROM er_dict) d ON t.tok = d.name
+),
+dkey AS (
+  SELECT {_tmk_sql("name")} AS k, MIN(oid) AS oid FROM er_dict GROUP BY 1
+),
+normalized AS (
+  SELECT m.*, COALESCE(d.oid, 'CUI-less') AS oid
+  FROM mentions m LEFT JOIN dkey d ON {_tmk_sql("m.mention")} = d.k
+),
+surfaces AS (SELECT mention AS surface, MIN(oid) AS oid FROM normalized GROUP BY 1),
+skeys AS (
+  SELECT surface, {_tmk_sql("surface")} AS tmk,
+         'drug:' || {_tmk_sql("regexp_extract(surface, '[0-9a-zA-Z]+')")} AS k_tok,
+         'drug:fk:' || {_tmk_sql("surface")} AS k_full
+  FROM surfaces
+),
+keyed AS (
+  SELECT surface, tmk, k_tok AS bkey FROM skeys
+  UNION
+  SELECT surface, tmk, k_full FROM skeys
+),
+cand AS (
+  SELECT DISTINCT a.surface AS sa, a.tmk AS ka, b.surface AS sb, b.tmk AS kb
+  FROM keyed a JOIN keyed b USING (bkey)
+  WHERE a.surface < b.surface
+),
+cand_tok AS (
+  SELECT sa, ka, sb, kb, lower(sa) AS xa, lower(sb) AS xb,
+         list_distinct(regexp_extract_all(lower(sa), '{_CONLL_RE}')) AS ta,
+         list_distinct(regexp_extract_all(lower(sb), '{_CONLL_RE}')) AS tb
+  FROM cand
+),
+scored AS (
+  SELECT sa, sb,
+         CASE WHEN ka = kb THEN 1.0
+              ELSE {_pair_score_sql("sa", "sb", "xa", "xb", "ta", "tb")}
+         END AS score
+  FROM cand_tok
+),
+edges AS (
+  SELECT 'sf#drug#' || sa AS src, 'sf#drug#' || sb AS dst
+  FROM scored WHERE score >= 0.85
+  UNION ALL
+  SELECT 'sf#drug#' || surface, 'oid:drug:' || oid
+  FROM surfaces WHERE oid <> 'CUI-less'
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, r.r FROM und u JOIN reach r ON u.dst = r.node
+),
+labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT n.conv_id, n.turn_idx, n.m_start AS start, n.m_end AS "end",
+       n.mention, 'drug' AS etype, n.oid,
+       COALESCE(l.cluster_id, 'sf#drug#' || n.mention) AS cluster_id,
+       CASE WHEN n.oid = 'CUI-less' THEN 'CUI-less'
+            ELSE 'BERN:' || n.oid END AS norm_ids
+FROM normalized n LEFT JOIN labels l ON l.node = 'sf#drug#' || n.mention
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1261,7 +1388,7 @@ WHERE LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) > 0
 # ---------------------------------------------------------------------------
 
 QUERIES = {
-    "er_pipeline": er_pipeline_on_documents,  # rows-only: full pipeline
+    "er_pipeline": er_pipeline_on_documents,  # fully oracled (SQL_ER_PIPELINE)
     "er_mentions": q_er_mentions,
     "er_normalize_counts": q_er_normalize_counts,
     "er_block_sizes": q_er_block_sizes,
@@ -1295,6 +1422,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "er_pipeline": SQL_ER_PIPELINE,
     "er_mentions": SQL_ER_MENTIONS,
     "er_normalize_counts": SQL_ER_NORMALIZE_COUNTS,
     "er_block_sizes": SQL_ER_BLOCK_SIZES,

@@ -415,6 +415,53 @@ def test_ner_framing_shape_matches_oracle(spark):
     assert res[0]["rows"] > 0
 
 
+# ---------------------------------------------------------------------------
+# Round-6 flagship: er_pipeline fully DuckDB-oracled (was rows-only)
+# ---------------------------------------------------------------------------
+
+
+def test_er_pipeline_matches_full_oracle(spark):
+    """The REAL resolve_entities run hash-matches SQL_ER_PIPELINE — a
+    stage-by-stage relational re-derivation (extract join, J1 normalize,
+    both block-key families, score blend with tmChem short-circuit, star
+    edges, recursive-CC min labels, cluster/norm_ids attach) — at
+    sf0.001, the same compare the driver runs at sf0.01."""
+    from bern_spark.oracle_check import run_all
+
+    res = run_all(spark, "/root/testdata/sf0.001", names=["er_pipeline"])
+    assert res[0]["ok"], res[0]
+    assert res[0]["rows"] > 0
+
+
+def test_tmchem_sql_class_matches_spark_kernel(spark):
+    """The RE2-safe SQL char class strips exactly what keys.tmchem_key
+    strips — every string.punctuation char, whitespace, case — so the
+    oracle's J1/blocking keys cannot drift from the engine's."""
+    import string
+
+    import duckdb
+
+    from bern_spark.entry_queries import _tmk_sql
+
+    fixtures = [
+        "Aspirin  B-12",
+        string.punctuation,
+        "a'b\"c\\d]e[f-g",
+        "  spaced\tout\nsurface  ",
+        "UPPER_lower.123",
+        "no-op",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in fixtures], ["name"])
+    from bern_spark.functions.keys import tmchem_key
+
+    spark_keys = [r["k"] for r in sdf.select(tmchem_key("name").alias("k")).collect()]
+    con = duckdb.connect()
+    duck_keys = [
+        con.execute(f"SELECT {_tmk_sql('?')}", [s]).fetchone()[0] for s in fixtures
+    ]
+    assert spark_keys == duck_keys
+
+
 def test_pipeline_version_bumped_for_minhash_seed_fix():
     """The r5 MinHash seed-capture fix changed blocking-stage outputs; a
     v5 lineage store must not resume into post-fix code (ADVICE r5)."""
