@@ -212,9 +212,14 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
         # wall amortize away and examples/sec/core approaches the
         # sustained framing throughput a 100 TB plan extrapolates from.
         if os.environ.get("SPARK_GRAFT_BENCH_EXPORT_SCALE", "1") != "0":
+            # persist (NOT localCheckpoint): checkpoint blocks are not
+            # releasable and would stay pinned in the block manager
+            # through the rest of the bench process — including the
+            # tenancy-sensitive streaming run in this same JVM
             big = _docs_as_turns(
                 spark.read.parquet(f"{_lowdup_dir(spark)}/documents.parquet")
-            ).repartition(cpus).localCheckpoint(eager=True)
+            ).repartition(cpus).persist()
+            big.count()
             big_vocab = build_vocab(big)
             t0 = time.time()
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -222,6 +227,7 @@ def run_headline(sf_dir: str) -> tuple[dict[str, float], dict[str, dict]]:
             n_big = sum(r["n_records"] for r in manifest.collect())
             dt = time.time() - t0
             shutil.rmtree(out_dir, ignore_errors=True)
+            big.unpersist()
             stats["tfrecord_export_50k"] = {
                 "sec": round(dt, 2),
                 "examples": n_big,
@@ -427,6 +433,7 @@ def run_streaming(repeats: int | None = None) -> dict:
 
     if repeats is None:
         repeats = int(os.environ.get("SPARK_GRAFT_STREAM_REPEATS", "3"))
+    repeats = max(1, repeats)
     variants = [
         # (name, convs, fn, tag, n_runs)
         ("dedup_builtin", STREAM_CONVS, streaming_dedup_mentions_builtin,
@@ -446,7 +453,10 @@ def run_streaming(repeats: int | None = None) -> dict:
     out: dict = {}
     for name, *_rest in variants:
         n = len(samples[name])
-        med = sorted(samples[name])[n // 2]
+        # statistics.median averages the middle two for even n — the
+        # upper-middle pick would systematically report the SLOWER of
+        # two samples while labeling it a median
+        med = round(statistics.median(samples[name]), 2)
         out[name] = {
             "corpus_turns": turns[name],
             "sec": med,

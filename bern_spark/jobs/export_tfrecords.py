@@ -55,23 +55,32 @@ def bio_labels(
     base: int,
     spans: list[tuple[int, int]],
     carry_in: bool = False,
+    carry_boundary: int | None = None,
 ) -> list[str]:
     """BIO over W2 tokens by char-span overlap: the first token of each
     mention span gets ``B``, later overlapping tokens ``I``, the rest
     ``O``. ``base`` shifts token offsets (window-relative) into the
     coordinate system of ``spans`` (turn-absolute). ``carry_in=True``
-    seeds the previous-span state from the character just before the
-    window start, so a mention split by a 30-token window boundary
-    continues as ``I`` in the next window instead of restarting ``B``
-    (the reference's CoNLL chunking carries labels through the W4 split,
-    run_ner.py; sentence starts still begin fresh). Pure kernel."""
+    seeds the previous-span state from the span still open at the window
+    boundary, so a mention split by a 30-token window boundary continues
+    as ``I`` in the next window instead of restarting ``B`` (the
+    reference's CoNLL chunking carries labels through the W4 split,
+    run_ner.py; sentence starts still begin fresh). ``carry_boundary``
+    is the previous window's last-token END: a span only carries if it
+    starts BEFORE that boundary (``s < carry_boundary``) — i.e. it
+    actually overlapped a previous token and therefore got its ``B``
+    there. Without it a span starting in the inter-window whitespace gap
+    would seed ``I`` with no ``B`` opener anywhere (invalid BIO).
+    Defaults to ``base`` when the caller has no boundary. Pure kernel."""
     labels = []
     prev_span = None
     if carry_in:
-        # the span covering char base-1, if any: [base-1, base) overlaps
-        # [s, e) iff s < base and e >= base
+        bound = base if carry_boundary is None else min(carry_boundary, base)
+        # the span still open across the boundary: it must reach this
+        # window (e >= base) AND have overlapped a previous token
+        # (s < bound, where bound is the previous last-token end)
         for s, e in spans:
-            if s < base and e >= base:
+            if s < bound and e >= base:
                 prev_span = (s, e)
                 break
     for _tok, ts, te in tokens:
@@ -132,6 +141,7 @@ def frame_turns(
         "sent_idx",
         "win_idx",
         (F.col("sent_start") + F.col("start")).alias("abs_start"),
+        (F.col("sent_start") + F.col("prev_end")).alias("abs_prev_end"),
         "chunk",
     )
     if mentions is not None:
@@ -164,7 +174,13 @@ def frame_turns(
                 if r.spans is not None and len(r.spans):
                     spans = [(int(s["start"]), int(s["end"])) for s in r.spans]
                     labels = bio_labels(
-                        toks, int(r.abs_start), spans, carry_in=r.win_idx > 0
+                        toks,
+                        int(r.abs_start),
+                        spans,
+                        carry_in=r.win_idx > 0,
+                        carry_boundary=(
+                            None if pd.isna(r.abs_prev_end) else int(r.abs_prev_end)
+                        ),
                     )
                 else:
                     labels = ["O"] * len(words)

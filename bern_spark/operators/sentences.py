@@ -85,6 +85,13 @@ def word_windows(
                 F.col("_toks"),
                 F.least((w + 1) * window_tokens, F.size("_toks")),
             )["end"].alias("end"),
+            # previous window's last-token end (null for the first
+            # window) — row-local (the token array is at hand), so BIO
+            # carry-in downstream needs no lag() shuffle to know where
+            # the previous window's tokens stopped
+            F.when(
+                w > 0, F.element_at(F.col("_toks"), w * window_tokens)["end"]
+            ).alias("prev_end"),
         ),
     )
     out = t.where(F.size("_toks") > 0).select(
@@ -95,5 +102,6 @@ def word_windows(
         F.col("w.win_idx").alias("win_idx"),
         F.col("w.start").alias("start"),
         F.col("w.end").alias("end"),
+        F.col("w.prev_end").alias("prev_end"),
         F.expr("substring(text, w.start + 1, w.end - w.start)").alias("chunk"),
     )

@@ -97,6 +97,7 @@ def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
     A false None merely costs the listing; a wrong token would risk a
     stale-stage read, so every branch that cannot PROVE identity falls
     back."""
+    import hashlib
     import os
 
     try:
@@ -150,17 +151,22 @@ def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
                     # the root dir's (size, mtime_ns) moves on file
                     # create/delete/rename but NOT on an in-place rewrite
                     # of an existing data file (same name, e.g. by a
-                    # non-Spark writer) — fold the max child mtime from
-                    # one os.scandir so that case invalidates too; still
+                    # non-Spark writer) — fold a digest of every child's
+                    # (name, size, mtime_ns) from one os.scandir so ANY
+                    # child change invalidates, including a rewrite with
+                    # a BACKDATED mtime that a max-mtime fold would miss
+                    # (restore tools preserve timestamps). Still
                     # O(direct children), no recursion (unpartitioned
-                    # tables keep data files directly under the root)
-                    child_mtime = max(
-                        (e.stat().st_mtime_ns for e in os.scandir(p)),
-                        default=0,
-                    )
+                    # tables keep data files directly under the root).
+                    h = hashlib.sha256()
+                    for e in sorted(os.scandir(p), key=lambda e: e.name):
+                        est = e.stat()
+                        h.update(
+                            f"{e.name}:{est.st_size}:{est.st_mtime_ns};".encode()
+                        )
                     tok = (
                         f"table:{ct.identifier().toString()}:"
-                        f"dir:{st.st_size}:{st.st_mtime_ns}:{child_mtime}"
+                        f"dir:{st.st_size}:{st.st_mtime_ns}:{h.hexdigest()[:16]}"
                     )
         except Exception:
             tok = None
@@ -170,7 +176,7 @@ def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
     return toks if toks else None
 
 
-def _input_token(df: DataFrame | None) -> str:
+def _input_token(df: DataFrame | None, files: list[str] | None = None) -> str:
     """Cheap identity token for a pipeline input, combining BOTH signals:
 
     - the **file snapshot** when the input is file-backed (captures data
@@ -194,7 +200,11 @@ def _input_token(df: DataFrame | None) -> str:
     :func:`_catalog_leaf_tokens` (Iceberg snapshot id / table version /
     unpartitioned-location stat) — O(1) per table instead of the
     O(files) listing; object-store URIs that can't be stat'd contribute
-    names only."""
+    names only.
+
+    ``files``: a sorted listing the caller already paid for (e.g. the
+    bucketed-extract routing gate) — reused for the walk so a flagship
+    run lists once; the catalog short-circuit still wins when present."""
     import hashlib
     import os
 
@@ -205,7 +215,7 @@ def _input_token(df: DataFrame | None) -> str:
         return f"cat:{';'.join(cat)}:plan:{_plan_token(df)}"
     h = hashlib.sha256()
     n = 0
-    for f in sorted(df.inputFiles()):
+    for f in files if files is not None else sorted(df.inputFiles()):
         p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
         try:
             st = os.stat(p)
@@ -226,10 +236,16 @@ def pipeline_fingerprint(
     cfg: "ERConfig",
     mirna_dict: DataFrame | None = None,
     pathway_names: list[str] | None = None,
+    transcript_files: list[str] | None = None,
 ) -> str:
     import hashlib
 
-    toks = [PIPELINE_VERSION, repr(cfg), _input_token(transcripts), _input_token(lexicon)]
+    toks = [
+        PIPELINE_VERSION,
+        repr(cfg),
+        _input_token(transcripts, files=transcript_files),
+        _input_token(lexicon),
+    ]
     toks += [f"{k}={_input_token(dicts[k])}" for k in sorted(dicts)]
     toks.append(_input_token(id_merge))
     toks.append(_input_token(mirna_dict))
@@ -245,9 +261,11 @@ def _bare_file_scan(df: DataFrame) -> list[str] | None:
     directory-encoded values) — else None. Routing gate for
     ``run_file_bucketed_stage``; any doubt returns None (the
     hash-bucketed path is always correct). Returning the listing lets
-    the caller thread it through to the bucketed stage, so a flagship
-    run pays ONE driver-side file listing, not two — on a million-file
-    input the listing is the dominant driver cost of this route."""
+    the caller share it across ALL its consumers — the pipeline
+    fingerprint's file walk, this routing gate, and the bucketed stage —
+    so a flagship run pays ONE driver-side file listing total; on a
+    million-file input the listing is the dominant driver cost of this
+    route."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if not plan.children().isEmpty():
@@ -324,9 +342,15 @@ def resolve_entities(
         _stage_no = [0]
         # one fingerprint for the whole run: any config/input/code drift
         # invalidates every stage (positional stage names make per-stage
-        # fingerprints meaningless — an upstream change shifts them all)
+        # fingerprints meaningless — an upstream change shifts them all).
+        # The bucketed-extract routing gate's listing is computed FIRST
+        # and shared with the fingerprint's file walk, so a flagship run
+        # pays one driver-side listing total (the gate, the fingerprint,
+        # and the bucketed stage all reuse it).
+        scan_files = _bare_file_scan(transcripts) if cfg.extract_buckets > 0 else None
         fp = pipeline_fingerprint(
-            transcripts, lexicon, dicts, id_merge, cfg, mirna_dict, pathway_names
+            transcripts, lexicon, dicts, id_merge, cfg, mirna_dict, pathway_names,
+            transcript_files=scan_files,
         )
 
         def cut(df):
@@ -365,7 +389,7 @@ def resolve_entities(
         _stage_no[0] += 1
         name = f"stage_{_stage_no[0]:02d}"
         n_b = cfg.extract_buckets
-        scan_files = _bare_file_scan(transcripts)
+        # scan_files computed once above, shared with the fingerprint
         if scan_files:
             # file-bucketed: each sub-job reads ONLY its buckets' files —
             # one total input pass across all sub-jobs (the hash-bucketed

@@ -30,6 +30,17 @@ def test_bio_labels_carry_in_unit():
     # carry_in where the continuing span differs from the first token's
     # span: a span ending exactly at base does NOT cover char base-1+1
     assert bio_labels(win2, 20, [(0, 20), (20, 28)], carry_in=True) == ["B", "O"]
+    # carry_boundary: a span starting in the inter-window whitespace gap
+    # (after the previous window's last token, end=17) never overlapped a
+    # previous token — no B was ever emitted, so it must OPEN with B here,
+    # not continue as I (I-with-no-B would be an invalid BIO sequence)
+    assert bio_labels(
+        win2, 20, [(18, 28)], carry_in=True, carry_boundary=17
+    ) == ["B", "O"]
+    # ...but a span that did overlap the previous window's tokens carries
+    assert bio_labels(
+        win2, 20, [(15, 28)], carry_in=True, carry_boundary=17
+    ) == ["I", "O"]
 
 
 def test_frame_turns_bio_continues_across_window_split(spark):
@@ -65,6 +76,40 @@ def test_frame_turns_bio_continues_across_window_split(spark):
 
     assert tags(framed[0]) == ["O", "O", "O", "B"]  # dd opens the mention
     assert tags(framed[1]) == ["I", "O", "O"]  # ee CONTINUES it across the split
+
+
+def test_frame_turns_gap_start_span_opens_b_not_i(spark):
+    """A span starting in the whitespace gap BETWEEN windows (after the
+    previous window's last token end, before the next window's base)
+    never got a B in the previous window — the next window must open it
+    with B, not emit an I-with-no-B (invalid BIO in training shards)."""
+    from bern_spark.functions.pytext import NER_LABELS
+    from bern_spark.jobs.export_tfrecords import build_vocab, frame_turns
+
+    label_of = {i: l for i, l in enumerate(NER_LABELS, 1)}
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "aa bb cc dd ee ff gg", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    # win0 = aa..dd (last token end 11), win1 base = 12 ('ee'); span
+    # (11, 14) starts at the space char 11 — overlaps NO win0 token
+    mentions = spark.createDataFrame(
+        [("c1", 0, 11, 14)], "conv_id string, turn_idx int, start int, end int"
+    )
+    vocab = build_vocab(turns)
+    framed = {
+        r["win_idx"]: r
+        for r in frame_turns(
+            turns, vocab, mentions=mentions, window_tokens=4, max_seq_length=16
+        ).collect()
+    }
+
+    def tags(r):
+        n = sum(r["input_mask"])
+        return [label_of[i] for i in r["label_ids"][1 : n - 1]]
+
+    assert tags(framed[0]) == ["O", "O", "O", "O"]  # no B in win0
+    assert tags(framed[1]) == ["B", "O", "O"]  # ee OPENS the mention
 
 
 # ---------------------------------------------------------------------------
@@ -130,6 +175,12 @@ def test_v1_catalog_token_detects_inplace_rewrite(spark, tmp_path):
         os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000_000))
         t2 = _input_token(spark.table("r6_rtbl"))
         assert t2 != t1
+        # a BACKDATED rewrite (restore tools preserve older timestamps)
+        # must also invalidate — a max-mtime fold would miss this; the
+        # per-child digest does not
+        os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns - 10_000_000_000))
+        t3 = _input_token(spark.table("r6_rtbl"))
+        assert t3 not in (t1, t2)
     finally:
         spark.sql("DROP TABLE IF EXISTS r6_rtbl")
 
