@@ -154,7 +154,8 @@ def test_fetch_return_raw_forces_cache(spark, tmp_path):
 def test_v1_catalog_token_detects_inplace_rewrite(spark, tmp_path):
     """An external writer rewriting an existing data file in place (same
     name) changes neither the root dir's size nor its mtime — the token
-    folds the max child mtime from one os.scandir so this invalidates."""
+    folds a digest of every child's (name, size, mtime_ns) from one
+    os.scandir so this invalidates, including backdated rewrites."""
     from bern_spark.pipeline import _input_token
 
     loc = str(tmp_path / "rtbl")
