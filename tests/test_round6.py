@@ -514,6 +514,54 @@ def test_tmchem_sql_class_matches_spark_kernel(spark):
     assert spark_keys == duck_keys
 
 
+_SURFACE_ALPHA = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 -.'()/,+"
+)
+
+
+@given(
+    a=st.text(alphabet=_SURFACE_ALPHA, min_size=1, max_size=18),
+    b=st.text(alphabet=_SURFACE_ALPHA, min_size=1, max_size=18),
+)
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_pair_score_blend_cross_engine_parity(a, b):
+    """_pair_score_sql (the shared fragment both SQL oracles embed)
+    agrees with the Python kernel blend on arbitrary realistic surfaces
+    — whitespace, punctuation, mixed case — not just the [a-z]+ vocab
+    the er_score_pairs fixture covers. Guards the full-pipeline oracle
+    against silent cross-engine drift in JW/Levenshtein/Jaccard."""
+    import math
+
+    import duckdb
+
+    from bern_spark.entry_queries import _CONLL_RE, _pair_score_sql
+    from bern_spark.functions.pytext import (
+        jaro_winkler,
+        levenshtein_sim,
+        token_jaccard,
+    )
+
+    a, b = a.strip() or "x", b.strip() or "x"
+    xa, xb = a.lower(), b.lower()
+    if a == b:
+        k = 1.0
+    elif xa == xb:
+        k = 0.99
+    else:
+        k = (
+            0.5 * jaro_winkler(xa, xb)
+            + 0.35 * levenshtein_sim(xa, xb)
+            + 0.15 * token_jaccard(xa, xb)
+        )
+    expr = _pair_score_sql("a", "b", "xa", "xb", "ta", "tb")
+    q = f"""SELECT {expr} FROM (
+        SELECT ? AS a, ? AS b, lower(?) AS xa, lower(?) AS xb,
+               list_distinct(regexp_extract_all(lower(?), '{_CONLL_RE}')) AS ta,
+               list_distinct(regexp_extract_all(lower(?), '{_CONLL_RE}')) AS tb)"""
+    d = duckdb.connect().execute(q, [a, b, a, b, a, b]).fetchone()[0]
+    assert math.isclose(k, d, rel_tol=0, abs_tol=5e-5), (a, b, k, d)
+
+
 def test_pipeline_version_bumped_for_minhash_seed_fix():
     """The r5 MinHash seed-capture fix changed blocking-stage outputs; a
     v5 lineage store must not resume into post-fix code (ADVICE r5)."""
