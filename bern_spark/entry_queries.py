@@ -1384,6 +1384,77 @@ WHERE LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) > 0
 
 
 # ---------------------------------------------------------------------------
+# deterministic corpus sampling (training-data pipeline: splits + packing)
+# ---------------------------------------------------------------------------
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/val/test assignment (operators/sampling
+    .assign_splits, default 98/1/1): deterministic under re-sharding and
+    corpus growth, zero-shuffle. Full per-doc hash compare against the
+    DuckDB re-derivation of the same md5 bucketing."""
+    from bern_spark.operators.sampling import assign_splits
+
+    d = _read(spark, sf_dir, "documents")
+    return assign_splits(d, key_col="doc_id", salt="r6").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )
+
+
+SQL_SPLIT_ASSIGN = r"""
+SELECT doc_id,
+       CASE WHEN b < 9800 THEN 'train'
+            WHEN b < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r6'), 1, 8))::BIGINT
+           % 10000 AS b
+  FROM documents
+)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for a 512-token budget (operators/sampling
+    .pack_documents, 8 shards): md5-sharded, window-cumsum bin
+    assignment — the distributed GPT-style document-packing shape (one
+    shuffle on the shard key, serial greedy only WITHIN a shard)."""
+    from bern_spark.operators.sampling import pack_documents
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_documents(d, budget_tokens=512, n_shards=8, salt="r6").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "shard",
+        "bin_id",
+        "offset_tokens",
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r6'), 1, 8))::BIGINT
+           % 10000 % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR(before / 512.0) AS BIGINT) AS bin_id,
+       before % 512 AS offset_tokens
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1419,6 +1490,8 @@ QUERIES = {
     "word_windows": q_word_windows,
     "ner_framing": q_ner_framing,  # rows-only: WordPiece framing
     "ner_framing_shape": q_ner_framing_shape,  # its oracled skeleton
+    "split_assign": q_split_assign,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1452,4 +1525,6 @@ ORACLES = {
     "orphan_ratio": SQL_ORPHAN_RATIO,
     "word_windows": SQL_WORD_WINDOWS,
     "ner_framing_shape": SQL_NER_FRAMING_SHAPE,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -562,6 +562,78 @@ def test_pair_score_blend_cross_engine_parity(a, b):
     assert math.isclose(k, d, rel_tol=0, abs_tol=5e-5), (a, b, k, d)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling operators (splits + sequence packing)
+# ---------------------------------------------------------------------------
+
+
+def test_assign_splits_deterministic_and_growth_stable(spark):
+    from bern_spark.operators.sampling import assign_splits
+
+    full = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in assign_splits(full, salt="s").collect()}
+    # re-partitioned input -> identical assignment (content-keyed)
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(full.repartition(13), salt="s").collect()
+    }
+    assert a == b
+    # corpus growth never moves existing keys between splits
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            spark.range(0, 500).withColumnRenamed("id", "doc_id"), salt="s"
+        ).collect()
+    }
+    assert all(a[k] == v for k, v in sub.items())
+    # weights roughly honored at n=2000 (98/1/1; generous bounds)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 1900 and 0 < c["val"] < 80 and 0 < c["test"] < 80
+    # different salt -> different assignment somewhere
+    d = {r["doc_id"]: r["split"] for r in assign_splits(full, salt="t").collect()}
+    assert a != d
+    with pytest.raises(ValueError):
+        assign_splits(full, weights={"a": 0.0})
+
+
+def test_pack_documents_bins_are_shardwise_cumsum(spark):
+    from bern_spark.operators.sampling import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 40))) for i in range(200)]
+        + [(999, "   ")],  # whitespace-only doc: dropped
+        "doc_id long, text string",
+    )
+    rows = pack_documents(docs, budget_tokens=64, n_shards=4, salt="s").collect()
+    assert len(rows) == 200  # the empty doc is gone
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # actually sharded
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            # (bin_id, offset) is exactly the cumsum of prior docs
+            assert r["bin_id"] * 64 + r["offset_tokens"] == cum
+            assert 0 <= r["offset_tokens"] < 64
+            cum += r["n_tokens"]
+    with pytest.raises(ValueError):
+        pack_documents(docs, budget_tokens=0)
+
+
+def test_pack_documents_single_exchange(spark):
+    """Packing shuffles ONCE (the shard key window) — no global sort, no
+    extra exchange from the bucket derivation."""
+    from bern_spark.operators.sampling import pack_documents
+
+    docs = spark.range(0, 100).selectExpr("id AS doc_id", "'a b c' AS text")
+    plan = pack_documents(docs, budget_tokens=8, n_shards=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_pipeline_version_bumped_for_minhash_seed_fix():
     """The r5 MinHash seed-capture fix changed blocking-stage outputs; a
     v5 lineage store must not resume into post-fix code (ADVICE r5)."""
