@@ -76,6 +76,9 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     checkpoint_every: int = 1,
+    lineage_store=None,
+    fingerprint: str | None = None,
+    stage_prefix: str = "cc",
 ) -> DataFrame:
     """Return (node, cluster_id) with cluster_id = min node id in component.
 
@@ -87,6 +90,19 @@ def connected_components(
     the logical plan grows ~16x PER ITERATION and the driver dies on plan
     analysis long before any data-size limit — there is no valid
     "never checkpoint" mode for this algorithm.
+
+    ``lineage_store`` (a ``bern_spark.lineage.LineageStore``) makes the
+    iteration checkpoints DURABLE: each checkpointed edge set lands as a
+    parquet stage ``{stage_prefix}_iter_NNN`` keyed by ``fingerprint``,
+    so a driver killed mid-fixpoint (CC on 10^8 surface nodes runs
+    minutes of iterations) resumes by fast-forwarding through completed
+    iterations — per completed iteration the replay cost is one manifest
+    read plus one signature aggregate over the stage parquet, never a
+    star-round recompute. ``fingerprint`` is REQUIRED with a store and
+    must identify the edge set and CC config (resolve_entities passes
+    its pipeline fingerprint; the stage names carry the iteration
+    index). Without a store, checkpoints are in-memory localCheckpoints
+    (single-process lifetime), exactly as before.
     """
     if checkpoint_every < 1:
         raise ValueError(
@@ -94,7 +110,26 @@ def connected_components(
             "~16x per iteration without lineage truncation (driver OOM on "
             "plan analysis)"
         )
+    if lineage_store is not None and fingerprint is None:
+        raise ValueError(
+            "lineage_store requires a fingerprint identifying the edge set "
+            "and CC config — resuming another run's iteration stages would "
+            "silently mix edge sets"
+        )
     spark = edges.sparkSession
+
+    if lineage_store is not None:
+        def _ckpt(df: DataFrame, tag: str) -> DataFrame:
+            # run_stage: computes+writes once, reads back on resume with
+            # a matching fingerprint — the read-back is a fresh parquet
+            # scan, so it is lineage-truncated exactly like a checkpoint
+            return lineage_store.run_stage(
+                spark, f"{stage_prefix}_{tag}", lambda: df, fingerprint=fingerprint
+            )
+    else:
+        def _ckpt(df: DataFrame, tag: str) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -106,7 +141,7 @@ def connected_components(
     # it would ALSO register the pre-checkpoint plan in the CacheManager
     # — an entry the rebind orphans, leaking one full edge-set cache per
     # checkpoint for the session lifetime (code-review r4)
-    e = _canonical_undirected(edges).localCheckpoint(eager=True)
+    e = _ckpt(_canonical_undirected(edges), "init")
 
     def _sig(df: DataFrame):
         # one aggregate job: (row count, order-insensitive xxhash sum) —
@@ -142,7 +177,7 @@ def connected_components(
             # no persist first (see the initial checkpoint above): the
             # eager checkpoint reads `mid` (persisted) once and stores
             # its own blocks; a pre-checkpoint cache entry would leak
-            e2 = e2.localCheckpoint(eager=True)
+            e2 = _ckpt(e2, f"iter_{i:03d}")
         else:
             # persist BEFORE the signature action so e2 materializes into
             # cache while mid is still persisted; mid can then be released
@@ -176,7 +211,7 @@ def connected_components(
         # materialization returns), or the final set would be stored
         # twice for the session lifetime.
         old_e = e
-        e = e.localCheckpoint(eager=True)
+        e = _ckpt(e, "final")
         old_e.unpersist()
         for p in pending:
             p.unpersist()

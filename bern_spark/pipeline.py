@@ -497,7 +497,17 @@ def resolve_entities(
     # broadcast-able join afterwards. (Mention-level edges would make CC
     # corpus-sized for zero information gain: a mention connects only
     # through its surface.)
-    surf_labels = connected_components(edges, max_iter=cfg.max_cc_iter).select(
+    # with a lineage store the CC iterations themselves checkpoint to
+    # durable stages (cc_iter_NNN, keyed by the run fingerprint): a
+    # driver killed mid-fixpoint fast-forwards through completed
+    # iterations on restart instead of redoing them (north-rule
+    # resumability for the one loop that runs minutes at 10^8 nodes)
+    surf_labels = connected_components(
+        edges,
+        max_iter=cfg.max_cc_iter,
+        lineage_store=lineage_store,
+        fingerprint=fp if lineage_store is not None else None,
+    ).select(
         F.col("node").alias("_snode"), F.col("cluster_id").alias("_scluster")
     )
 
