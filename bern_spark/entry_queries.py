@@ -1437,13 +1437,13 @@ WITH t AS (
   SELECT doc_id,
          CAST(LEN(regexp_extract_all(text, '[0-9a-zA-Z]+|[^0-9a-zA-Z\s]')) AS BIGINT) AS n_tokens,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r6'), 1, 8))::BIGINT
-           % 10000 % 8 AS shard
+           % 8 AS shard
   FROM documents
 ),
 c AS (
   SELECT doc_id, n_tokens, shard,
          CAST(COALESCE(SUM(n_tokens) OVER (
-             PARTITION BY shard ORDER BY doc_id
+             PARTITION BY shard ORDER BY doc_id, n_tokens
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
   FROM t WHERE n_tokens > 0
 )

@@ -124,6 +124,7 @@ class LineageStore:
         build_fn,
         fingerprint: str | None = None,
         verify: bool = False,
+        extra_metrics: dict | None = None,
     ) -> DataFrame:
         """Materialize ``build_fn()`` once; subsequent calls (including
         after a restart) read the parquet back without recompute — unless
@@ -131,7 +132,15 @@ class LineageStore:
         the stage is recomputed (config/input/code drift invalidation).
 
         Row count is observed during the single write pass; ``verify=True``
-        additionally runs the per-file checksum audit scan."""
+        additionally runs the per-file checksum audit scan.
+
+        ``extra_metrics`` (name -> aggregate Column) ride the SAME
+        write-pass observation and land in the manifest as strings under
+        ``"metrics"`` — callers that need an aggregate of the stage
+        output (e.g. the CC convergence signature) read it from the
+        manifest instead of paying a second full scan of the parquet
+        they just wrote. Absent from manifests written before this field
+        existed — callers must fall back to scanning when missing."""
         man = self.read_manifest(stage)
         path = self._dpath(stage)
         if man and man.get("status") == "complete":
@@ -141,17 +150,21 @@ class LineageStore:
         t0 = time.time()
         df = build_fn()
         obs = Observation(f"lineage_{stage}_{next(_obs_counter)}")
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(path)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for name, col in (extra_metrics or {}).items():
+            aggs.append(col.alias(name))
+        df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
+        got = obs.get
         payload = {
             "status": "complete",
             "stage": stage,
-            "rows": obs.get["rows"],
+            "rows": got["rows"],
             "fingerprint": fingerprint,
             "wall_sec": round(time.time() - t0, 3),
             "ts": time.time(),
         }
+        if extra_metrics:
+            payload["metrics"] = {k: str(got[k]) for k in extra_metrics}
         if verify:
             payload["partitions"] = self._partition_metrics(spark, path)
         self._write_manifest(stage, payload)

@@ -122,13 +122,34 @@ def connected_components(
         def _ckpt(df: DataFrame, tag: str) -> DataFrame:
             # run_stage: computes+writes once, reads back on resume with
             # a matching fingerprint — the read-back is a fresh parquet
-            # scan, so it is lineage-truncated exactly like a checkpoint
+            # scan, so it is lineage-truncated exactly like a checkpoint.
+            # The convergence signature rides the write-pass observation
+            # into the manifest, so a durable iteration costs ONE pass
+            # over the edges (write), not write + signature re-scan.
             return lineage_store.run_stage(
-                spark, f"{stage_prefix}_{tag}", lambda: df, fingerprint=fingerprint
+                spark,
+                f"{stage_prefix}_{tag}",
+                lambda: df,
+                fingerprint=fingerprint,
+                extra_metrics={
+                    "sig_h": F.sum(
+                        F.xxhash64("src", "dst").cast("decimal(38,0)")
+                    )
+                },
             )
+
+        def _stage_sig(tag: str):
+            man = lineage_store.read_manifest(f"{stage_prefix}_{tag}") or {}
+            m = man.get("metrics") or {}
+            if man.get("status") == "complete" and "sig_h" in m:
+                return (str(man["rows"]), m["sig_h"])
+            return None  # pre-metrics manifest: caller scans instead
     else:
         def _ckpt(df: DataFrame, tag: str) -> DataFrame:
             return df.localCheckpoint(eager=True)
+
+        def _stage_sig(tag: str):
+            return None
 
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -148,13 +169,15 @@ def connected_components(
         # canonical edge sets are equal iff signatures are equal (hash
         # collision odds ~2^-64 per iteration; acceptable for a
         # convergence check that only ever stops a loop *early*).
+        # Stringified so it compares consistently with manifest-sourced
+        # signatures (the durable path stores metrics as strings).
         r = df.agg(
             F.count("*").alias("n"),
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
-        return (r["n"], r["h"])
+        return (str(r["n"]), str(r["h"]))
 
-    sig = _sig(e)
+    sig = _stage_sig("init") or _sig(e)
     converged = False
     prev_e = e
     # Predecessors a cache-only successor may still need for recompute:
@@ -184,7 +207,11 @@ def connected_components(
             # without the next iteration recomputing it along both star
             # branches (recompute only recurs on cache eviction)
             e2 = e2.persist()
-        sig2 = _sig(e2)  # materializes e2 either way
+        # checkpointed durable iterations read the signature from the
+        # manifest (computed in the stage's write pass) — no second scan;
+        # in-memory / non-checkpoint iterations run the aggregate (which
+        # also materializes e2's cache)
+        sig2 = (_stage_sig(f"iter_{i:03d}") if checkpointed else None) or _sig(e2)
         mid.unpersist()
         if prev_e is not e2:
             pending.append(prev_e)

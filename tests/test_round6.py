@@ -9,6 +9,7 @@ import os
 import struct
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.test_round4 import _DOC
 
@@ -622,6 +623,52 @@ def test_pack_documents_bins_are_shardwise_cumsum(spark):
             cum += r["n_tokens"]
     with pytest.raises(ValueError):
         pack_documents(docs, budget_tokens=0)
+
+
+def test_sampling_queries_match_oracle(spark):
+    """split_assign and pack_sequences hash-match their DuckDB oracles
+    at sf0.001 — the same compare the driver runs at sf0.01."""
+    from bern_spark.oracle_check import run_all
+
+    for r in run_all(
+        spark, "/root/testdata/sf0.001", names=["split_assign", "pack_sequences"]
+    ):
+        assert r["ok"], r
+        assert r["rows"] > 0
+
+
+def test_md5_bucket_cross_engine_parity(spark):
+    """The Spark conv(md5-prefix) hash equals DuckDB's '0x'-cast
+    re-derivation for every key — the one expression in the sampling
+    oracles most likely to drift across engines."""
+    import duckdb
+
+    from bern_spark.operators.sampling import _md5_hash32
+
+    keys = [str(i) for i in range(200)] + ["", "a b", "UPPER", "0", "ключ"]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    s = {
+        r["k"]: r["h"]
+        for r in df.select("k", _md5_hash32(F.col("k"), "salt").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        d = con.execute(
+            "SELECT ('0x' || substr(md5(? || ':salt'), 1, 8))::BIGINT", [k]
+        ).fetchone()[0]
+        assert s[k] == d, (k, s[k], d)
+
+
+def test_assign_splits_rejects_unreachable_and_negative(spark):
+    from bern_spark.operators.sampling import assign_splits
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):  # val rounds to zero buckets
+        assign_splits(df, weights={"train": 0.99997, "val": 0.00003})
+    with pytest.raises(ValueError):  # negative weight with positive total
+        assign_splits(df, weights={"a": 2.0, "b": -1.0})
+    with pytest.raises(ValueError):  # earlier weights consume everything
+        assign_splits(df, weights={"a": 1.0, "b": 0.0})
 
 
 def test_pack_documents_single_exchange(spark):
