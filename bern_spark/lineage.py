@@ -147,6 +147,11 @@ class LineageStore:
             if fingerprint is None or man.get("fingerprint") == fingerprint:
                 return spark.read.parquet(path)
             # fingerprint drift: fall through and recompute
+        if extra_metrics and "rows" in extra_metrics:
+            raise ValueError(
+                "extra_metrics name 'rows' is reserved (the built-in row "
+                "count) — a duplicate alias would corrupt the manifest"
+            )
         t0 = time.time()
         df = build_fn()
         obs = Observation(f"lineage_{stage}_{next(_obs_counter)}")

@@ -37,6 +37,16 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def _sig_h_col() -> F.Column:
+    """Order-insensitive edge-set hash aggregate — THE convergence
+    signature expression, used both by the in-memory signature scan and
+    as the durable stage's write-pass metric. One definition: if the two
+    ever diverged, equal edge sets would never compare equal under
+    checkpoint_every > 1 and every durable run would silently burn
+    max_iter iterations."""
+    return F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)"))
+
+
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (large=True) or small-star round.
 
@@ -131,11 +141,7 @@ def connected_components(
                 f"{stage_prefix}_{tag}",
                 lambda: df,
                 fingerprint=fingerprint,
-                extra_metrics={
-                    "sig_h": F.sum(
-                        F.xxhash64("src", "dst").cast("decimal(38,0)")
-                    )
-                },
+                extra_metrics={"sig_h": _sig_h_col()},
             )
 
         def _stage_sig(tag: str):
@@ -172,8 +178,7 @@ def connected_components(
         # Stringified so it compares consistently with manifest-sourced
         # signatures (the durable path stores metrics as strings).
         r = df.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+            F.count("*").alias("n"), _sig_h_col().alias("h")
         ).collect()[0]
         return (str(r["n"]), str(r["h"]))
 
@@ -236,9 +241,14 @@ def connected_components(
         # The pre-checkpoint cache entry of the final set is released
         # too (the checkpoint blocks are self-contained once eager
         # materialization returns), or the final set would be stored
-        # twice for the session lifetime.
+        # twice for the session lifetime. The durable stage name carries
+        # the iteration index it closed at: a bare "final" would be
+        # STALE-served when the same fingerprint re-runs with a raised
+        # max_iter and converges later (iter_NNN stages are
+        # deterministic given fingerprint+index; a fixed "final" is not
+        # deterministic given the fingerprint alone).
         old_e = e
-        e = _ckpt(e, "final")
+        e = _ckpt(e, f"final_i{i:03d}")
         old_e.unpersist()
         for p in pending:
             p.unpersist()

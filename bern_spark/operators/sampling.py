@@ -75,17 +75,18 @@ def assign_splits(
     names = list(weights)
     bounds = []
     acc = 0.0
+    prev = 0
     for name in names[:-1]:
         acc += weights[name] / total
-        bounds.append(int(round(acc * N_BUCKETS)))
-    for i, name in enumerate(names[:-1]):
-        lo = bounds[i - 1] if i else 0
-        if bounds[i] <= lo:
+        bound = int(round(acc * N_BUCKETS))
+        if bound <= prev:
             raise ValueError(
                 f"split '{name}' rounds to zero buckets at weight "
                 f"{weights[name]!r} (boundary space {N_BUCKETS}) — it would "
                 "silently receive no rows"
             )
+        bounds.append(bound)
+        prev = bound
     if bounds and bounds[-1] >= N_BUCKETS:
         raise ValueError(
             f"split '{names[-1]}' rounds to zero buckets — earlier weights "

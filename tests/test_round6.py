@@ -729,6 +729,37 @@ def test_cc_durable_iterations_and_fast_forward(spark, tmp_path):
     assert store.read_manifest("cc_iter_000")["ts"] != it0_man["ts"]
 
 
+def test_cc_final_stage_not_stale_on_raised_max_iter(spark, tmp_path):
+    """An exhausted run (max_iter too low, checkpoint_every > 1) writes
+    a final stage; re-running with a raised max_iter and the SAME
+    fingerprint must NOT serve that less-converged edge set — the final
+    stage name carries the iteration it closed at."""
+    import warnings as _w
+
+    from bern_spark.entry_queries import CC_EDGES
+    from bern_spark.lineage import LineageStore
+    from bern_spark.operators.cc import connected_components
+
+    edges = spark.createDataFrame(CC_EDGES, ["src", "dst"])
+    ref = {(r["node"], r["cluster_id"]) for r in connected_components(edges).collect()}
+    store = LineageStore(str(tmp_path / "cc"))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)  # expected: exhausted
+        partial = connected_components(
+            edges, max_iter=1, checkpoint_every=2,
+            lineage_store=store, fingerprint="f",
+        ).collect()
+    assert len(partial) > 0  # ran, under-merged or not
+    full = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(
+            edges, max_iter=25, checkpoint_every=2,
+            lineage_store=store, fingerprint="f",
+        ).collect()
+    }
+    assert full == ref  # NOT the exhausted run's final edge set
+
+
 def test_resolve_entities_cc_stages_in_lineage(spark, tmp_path):
     """The pipeline threads its fingerprint into CC when a lineage store
     is present: cc_iter stages appear beside the positional stages, and
