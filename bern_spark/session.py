@@ -45,9 +45,30 @@ def get_spark(
         # scale.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # Broadcast all dictionary-style dims aggressively; every reference
-        # join (J1-J9 in SURVEY §2.3) is a dict lookup.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scalar @udf (if any ever appears) exchanges Arrow batches, not
+        # pickled rows (optimization guide §4.3/§9).
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # Scan-parallelism floor: a table written as one file with few row
+        # groups otherwise scans in 1-2 tasks and serializes every
+        # downstream row-local computation on it (measured: single-file
+        # 131 MB lineitem -> 2 scan tasks on 32 cores). Scale-adaptive by
+        # construction — it is a MINIMUM, and at real scale input splits
+        # >> cores so it is a no-op (guide §6 "minPartitionNum sets a
+        # floor on scan parallelism").
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # Join sizing: STATIC size estimates are routinely wrong after
+        # projections (guide §3.1) — with the old static-64MB threshold
+        # the planner broadcast the column-pruned 6M-row lineitem fact
+        # table in the Q3-shaped join (~25 MB estimated, ~140 MB real
+        # rows built single-threaded). Keep the static threshold at the
+        # conservative default and let AQE promote joins to broadcast
+        # from EXACT runtime sizes instead; dictionary dims (J1-J9) are
+        # all explicitly F.broadcast-hinted and unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Allow shuffled-hash where the planner's size conditions hold
+        # (guide §3.1/§9): no sort on either side, spills per partition.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Deterministic session timezone for timestamp round-trips.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
