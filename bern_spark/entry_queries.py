@@ -64,31 +64,27 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents tokenized: (doc_id, pos, tok, start_off, end_off).
-
-    Offsets by running sum over single-space-joined tokens — the W2/W3
-    token+offset index, fully relational (no UDF: the documents corpus is
-    pre-normalized single-space text).
-    """
-    d = _read(spark, sf_dir, "documents")
-    t = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return t.select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        "tok",
-        F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0)).cast("long").alias("start_off"),
-    ).withColumn("end_off", (F.col("start_off") + F.length("tok")).cast("long"))
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input cannot provide scan
+    parallelism on its own: a table written as a handful of files has a
+    handful of row groups, and a 1-row-group parquet file is effectively
+    unsplittable no matter how many byte-range splits the scan gets — so
+    row-local compute (md5 signatures, HOF dot products) serializes onto
+    one core (guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read"). Driver-side metadata check
+    only; at real scale inputs have files >> cores and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if len(df.inputFiles()) < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
+# The W2/W3 token+offset index (running-sum offsets over single-space-
+# joined tokens) survives ONLY as the oracles' SQL CTE below: every Spark
+# implementation now derives tokens/offsets row-locally from the token
+# array (split), because the per-doc window forced an Exchange+Sort into
+# a dozen otherwise shuffle-free queries (round-7 optimization; the
+# oracle SQL text is frozen by the driver and unchanged).
 _TOKS_SQL = """
 toks AS (
   SELECT doc_id, pos, tok,
@@ -110,12 +106,35 @@ toks AS (
 
 
 def q_er_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2/W3: dictionary unigram mentions with exact char offsets."""
+    """W2/W3: dictionary unigram mentions with exact char offsets.
+
+    Offsets WITHOUT the per-doc window (guide §2.4 — remove shuffles
+    outright): the corpus is single-space-joined tokens, so token ``pos``
+    starts at ``len(substring_index(text, ' ', pos)) + 1`` (the first
+    ``pos`` tokens joined, plus one separator) — identical to the running
+    ``sum(length+1)`` the window computed, but row-local. Offsets are
+    only evaluated for the (few) lexicon matches, not every token."""
     lex = spark.createDataFrame(ER_DICT, ["oid", "name"])
-    t = _toks(spark, sf_dir)
-    return (
-        t.join(F.broadcast(lex), t["tok"] == lex["name"])
-        .select("doc_id", "pos", F.col("tok").alias("mention"), "start_off", "end_off", "oid")
+    d = _spread(_read(spark, sf_dir, "documents"))
+    t = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    m = t.join(F.broadcast(lex), t["tok"] == lex["name"])
+    m = m.withColumn(
+        "start_off",
+        F.when(F.col("pos") == 0, F.lit(0))
+        .otherwise(F.length(F.expr("substring_index(text, ' ', pos)")) + 1)
+        .cast("long"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("tok").alias("mention"),
+        "start_off",
+        (F.col("start_off") + F.length("tok")).cast("long").alias("end_off"),
+        "oid",
     )
 
 
@@ -130,11 +149,18 @@ FROM toks t JOIN er_dict d ON t.tok = d.name
 def q_er_normalize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + A4: per-oid mention counts with CUI-less for misses over a
     sampled token stream (tokens starting with 's')."""
-    lex = spark.createDataFrame(ER_DICT, ["oid", "name"])
-    t = _toks(spark, sf_dir).where(F.col("tok").startswith("s"))
-    j = t.join(F.broadcast(lex), t["tok"] == lex["name"], "left")
+    # dictionary lookup as a map literal (6 entries) on a pre-filtered
+    # row-local explode: no window, no join, partial agg before the one
+    # tiny shuffle (guide §2.3 "aggregate before you shuffle")
+    er_map = F.create_map(*[F.lit(x) for o, n in ER_DICT for x in (n, o)])
+    d = _spread(_read(spark, sf_dir, "documents"))
+    t = d.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t.startswith("s"))
+        ).alias("tok")
+    )
     return (
-        j.select(F.coalesce("oid", F.lit("CUI-less")).alias("oid"))
+        t.select(F.coalesce(er_map[F.col("tok")], F.lit("CUI-less")).alias("oid"))
         .groupBy("oid")
         .agg(F.count("*").cast("long").alias("n_mentions"))
     )
@@ -152,7 +178,9 @@ GROUP BY 1
 def q_er_block_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking profile: block key = first char; size and pair count —
     the block-size scan behind salted repartitioning."""
-    t = _toks(spark, sf_dir)
+    t = _spread(_read(spark, sf_dir, "documents")).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
     return (
         t.groupBy(F.substring("tok", 1, 1).alias("block_key"))
         .agg(F.count("*").cast("long").alias("block_size"))
@@ -220,10 +248,19 @@ def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-transposition convention)."""
     from bern_spark.operators.scoring import pair_score_udf
 
+    # per-doc distinct row-local first, then global distinct: shuffles
+    # each doc's distinct matching tokens once instead of every token
     toks = (
-        _toks(spark, sf_dir)
-        .select("tok")
-        .where(F.col("tok").rlike("^[a-z]{2,}$"))
+        _spread(_read(spark, sf_dir, "documents"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split("text", " "), lambda t: t.rlike("^[a-z]{2,}$")
+                    )
+                )
+            ).alias("tok")
+        )
         .distinct()
     )
     # all distinct vocab pairs, a < b: quadratic in the VOCABULARY, which
@@ -345,12 +382,32 @@ FROM part
 def q_nth_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/W10: n-th occurrence index of each repeated token in a doc
     (the mutation re-anchoring counter, relational form)."""
-    t = _toks(spark, sf_dir)
-    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
-    return (
-        t.withColumn("occ", F.row_number().over(w).cast("long"))
-        .where(F.col("tok") == "spark")
-        .select("doc_id", "pos", "occ")
+    # row-local: the positions of the matched token within the doc's
+    # array ARE the (occ-1 -> pos) pairs the old per-(doc, tok) window
+    # ranked; posexplode over the filtered position list replaces the
+    # full-corpus Exchange+Sort+row_number (guide §2.4)
+    d = (
+        _spread(_read(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            # bound to a column: inline split in a HOF lambda re-evaluates
+            # per element access (see q_doc_fingerprint)
+            F.split("text", " ").alias("arr"),
+        )
+    )
+    arr = F.col("arr")
+    hit_positions = F.filter(
+        F.sequence(F.lit(0), F.size(arr) - 1),
+        lambda i: F.element_at(arr, i + 1) == "spark",
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(hit_positions).alias("_o", "pos"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.col("_o") + 1).cast("long").alias("occ"),
     )
 
 
@@ -367,7 +424,9 @@ SELECT doc_id, pos, occ FROM (
 def q_freq_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: frequency-dictionary build — tokens with count >= 50
     (make_freq_dict, gene_auxiliary_normalizer.py:46-60)."""
-    t = _toks(spark, sf_dir)
+    t = _spread(_read(spark, sf_dir, "documents")).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
     return (
         t.groupBy("tok")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -408,14 +467,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-token-shingle Jaccard >= 0.2, docs 0..199
     (bounded so the oracle stays cheap; the scale path buckets by the
     dedup_minhash bands instead of a bounded cross join)."""
-    t = _toks(spark, sf_dir).where(F.col("doc_id") < 200)
-    sh = (
-        t.withColumn("nxt", F.lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-        .withColumn("nx2", F.lead("tok", 2).over(Window.partitionBy("doc_id").orderBy("pos")))
-        .where(F.col("nx2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "nxt", "nx2").alias("sh"))
-        .dropDuplicates()
+    # shingle sets row-local (array_distinct over the 3-gram transform ==
+    # the old lead()+dropDuplicates), then the same shingle equi-join;
+    # removes the two lead() windows and the dropDuplicates shuffle
+    d = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            # bound to a column: inline split in a HOF lambda re-evaluates
+            # per element access (see q_doc_fingerprint)
+            F.split("text", " ").alias("arr"),
+        )
+        .where(F.size("arr") >= 3)
     )
+    arr = F.col("arr")
+    sh3 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(arr, i),
+                F.element_at(arr, i + 1),
+                F.element_at(arr, i + 2),
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(sh3).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, F.col("a.sh") == F.col("b.sh"))
@@ -457,16 +535,43 @@ WHERE ROUND(i.inter / (sa.n + sb.n - i.inter), 4) >= 0.2
 """
 
 
+def _minhash_sig_cols(arr_col: str = "arr") -> list[F.Column]:
+    """The 4 seeded md5-permutation minima as ROW-LOCAL array expressions
+    over a distinct-token array — bit-identical to the old
+    explode+groupBy+min plan (min over an array's md5s == MIN() aggregate
+    over the exploded md5s; md5 hex is ASCII so both orderings are plain
+    binary string comparison), with zero Generate/Exchange/Sort nodes."""
+    def one(s: int) -> F.Column:
+        # seed captured via THIS function's scope, never a lambda default
+        # arg: a two-parameter lambda is PySpark's (element, index) form
+        # and would silently bind the seed to the index Column (the exact
+        # bug blocking._perm_min documents)
+        lit_seed = F.lit(str(s))
+        return F.array_min(
+            F.transform(
+                arr_col,
+                lambda t: F.md5(F.encode(F.concat(lit_seed, F.lit("|"), t), "utf-8")),
+            )
+        ).alias(f"h{s}")
+
+    return [one(s) for s in range(4)]
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures via engine-portable md5 minima: 4 seeded
     permutations over distinct token unigrams; band key = md5 of the
-    concatenated signature. The LSH-bucket building block."""
-    t = _toks(spark, sf_dir).select("doc_id", "tok").dropDuplicates()
-    sigs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(str(s)), F.lit("|"), F.col("tok")), "utf-8"))).alias(f"h{s}")
-        for s in range(4)
-    ]
-    g = t.groupBy("doc_id").agg(*sigs)
+    concatenated signature. The LSH-bucket building block.
+
+    Fully row-local (guide §2.4): distinct tokens per doc via
+    ``array_distinct`` and per-permutation minima via ``array_min`` —
+    the old plan's Generate + per-partition Sort + two SortAggregates +
+    Exchange collapse into one projection over the scan."""
+    # isNotNull: the old explode dropped null-text docs; keep that exactly
+    d = _spread(_read(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
+    g = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_distinct(F.split("text", " ")).alias("arr"),
+    ).select("doc_id", *_minhash_sig_cols())
     return g.select(
         "doc_id",
         F.md5(F.encode(F.concat_ws("#", "h0", "h1"), "utf-8")).alias("band0"),
@@ -494,52 +599,61 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified on the candidates only. At 100 TB the candidate relation is
     O(collisions), not O(n^2); this is the same band->bucket->verify
     shape the in-pipeline LSH blocking uses (operators/blocking.py)."""
-    t = _toks(spark, sf_dir).select("doc_id", "tok").dropDuplicates()
-    sigs = [
-        F.min(
-            F.md5(F.encode(F.concat(F.lit(str(s)), F.lit("|"), F.col("tok")), "utf-8"))
-        ).alias(f"h{s}")
-        for s in range(4)
-    ]
-    g = t.groupBy("doc_id").agg(*sigs)
-    bands = g.select(
-        "doc_id",
-        F.md5(F.encode(F.concat_ws("#", "h0", "h1"), "utf-8")).alias("bkey"),
-        F.lit(0).alias("band"),
-    ).unionAll(
-        g.select(
-            "doc_id",
-            F.md5(F.encode(F.concat_ws("#", "h2", "h3"), "utf-8")).alias("bkey"),
-            F.lit(1).alias("band"),
+    # Signatures + band keys entirely row-local (no explode/groupBy);
+    # exact verification attaches each candidate side's distinct-token
+    # ARRAY (docs are short; the array is the cheap proxy) and computes
+    # the intersection with array_intersect — the old exploded
+    # token-equijoin + count shuffled O(candidate_tokens) rows, this
+    # shuffles O(candidates) rows (guide §2.3 "shuffle keys and metadata
+    # instead of payloads"). array_intersect over distinct arrays counts
+    # exactly the shared distinct tokens the old COUNT(*) did.
+    base = (
+        _spread(_read(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())  # old explode dropped null texts
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_distinct(F.split("text", " ")).alias("arr"),
         )
     )
+    g = base.select("doc_id", "arr", *_minhash_sig_cols())
+    bands = g.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.md5(F.encode(F.concat_ws("#", "h0", "h1"), "utf-8")).alias("bkey"),
+                    F.lit(0).alias("band"),
+                ),
+                F.struct(
+                    F.md5(F.encode(F.concat_ws("#", "h2", "h3"), "utf-8")).alias("bkey"),
+                    F.lit(1).alias("band"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("doc_id", F.col("_b.bkey").alias("bkey"), F.col("_b.band").alias("band"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["bkey", "band"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").cast("long").alias("doc_a"),
-            F.col("b.doc_id").cast("long").alias("doc_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
         .dropDuplicates()
     )
-    x = t.select(F.col("doc_id").alias("doc_a"), "tok")
-    y = t.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(x, "doc_a").join(y, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
-    sizes = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    x = base.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    y = base.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("i", F.coalesce("inter", F.lit(0)))
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4).alias("jaccard"),
+            F.round(
+                F.col("i") / (F.size("arr_a").cast("long") + F.size("arr_b").cast("long") - F.col("i")),
+                4,
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.5)
     )
@@ -585,15 +699,28 @@ WHERE ROUND(COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)), 4) >= 0.5
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit SimHash from md5 hex digits of distinct tokens (portable bit
     source): bit b set when the majority of tokens have hex digit b >= 8."""
-    t = _toks(spark, sf_dir).select("doc_id", "tok").dropDuplicates()
-    h = t.withColumn("hx", F.md5(F.encode("tok", "utf-8")))
-    bits = [
-        F.sum(
-            F.when(F.substring("hx", b + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+    # row-local: distinct tokens -> md5 array once, then each bit's +/-1
+    # majority as an array aggregate (integer math, bit-identical to the
+    # old SUM aggregate); no Generate, no Exchange (guide §2.4)
+    # isNotNull: the old explode dropped null-text docs; keep that exactly
+    d = _spread(_read(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
+    h = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.md5(F.encode(t, "utf-8")),
+        ).alias("hx"),
+    )
+
+    def bit_sum(b: int) -> F.Column:
+        return F.aggregate(
+            "hx",
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.substring(x, b + 1, 1).isin(*"89abcdef"), 1).otherwise(-1),
         ).alias(f"s{b}")
-        for b in range(8)
-    ]
-    g = h.groupBy("doc_id").agg(*bits)
+
+    g = h.select("doc_id", *[bit_sum(b) for b in range(8)])
     expr = sum(
         (F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(8)),
         F.lit(0),
@@ -644,14 +771,22 @@ FROM documents
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score: stopword ratio + mean token length; low-quality flag."""
-    t = _toks(spark, sf_dir)
-    sw = spark.createDataFrame([(w,) for w in STOPWORDS], ["w"])
-    j = t.join(F.broadcast(sw), t["tok"] == sw["w"], "left")
+    # row-local over the token array: stop_ratio = |stopword hits| / n and
+    # mean_tok_len = sum(len) / n. Bit-identical to the old
+    # explode+join+AVG: AVG sums exact-integer-valued doubles (1.0/0.0
+    # flags; token lengths < 2^53) so sum/count equals the row-local
+    # division on the same operands. No Generate, no join, no Exchange.
+    # isNotNull: the old explode dropped null-text docs; keep that exactly
+    d = _spread(_read(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    stops = F.size(F.filter(arr, lambda t: t.isin(*STOPWORDS)))
+    tok_len_sum = F.aggregate(arr, F.lit(0), lambda acc, t: acc + F.length(t))
     return (
-        j.groupBy("doc_id")
-        .agg(
-            F.round(F.avg(F.when(F.col("w").isNotNull(), 1.0).otherwise(0.0)), 4).alias("stop_ratio"),
-            F.round(F.avg(F.length("tok")), 4).alias("mean_tok_len"),
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(stops / n, 4).alias("stop_ratio"),
+            F.round(tok_len_sum / n, 4).alias("mean_tok_len"),
         )
         .withColumn(
             "low_quality",
@@ -675,23 +810,20 @@ GROUP BY doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language id: 'en' when any English stopword occurs;
     aggregated per declared lang column."""
-    t = _toks(spark, sf_dir)
-    sw = spark.createDataFrame([(w,) for w in STOPWORDS], ["w"])
-    per_doc = (
-        t.join(F.broadcast(sw), t["tok"] == sw["w"], "left")
-        .groupBy("doc_id")
-        .agg((F.count("w") > 0).alias("is_en"))
-    )
-    d = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "lang"
-    )
-    return (
-        d.join(per_doc, "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("long").alias("n_en_guess"),
+    # per-doc flag row-local (exists == the old COUNT(matched)>0), one
+    # aggregation, no explode/join/self-join back to documents (the old
+    # plan read documents twice and shuffled the exploded tokens)
+    d = (
+        _spread(_read(spark, sf_dir, "documents"))
+        .where(F.col("text").isNotNull())  # old explode dropped null texts
+        .select(
+            "lang",
+            F.exists(F.split("text", " "), lambda t: t.isin(*STOPWORDS)).alias("is_en"),
         )
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("long").alias("n_en_guess"),
     )
 
 
@@ -710,15 +842,36 @@ FROM documents d JOIN per_doc p USING (doc_id) GROUP BY d.lang
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over 3-token shingles
     (rolling-hash analog, engine-portable)."""
-    t = _toks(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (
-        t.withColumn("nxt", F.lead("tok", 1).over(w))
-        .withColumn("nx2", F.lead("tok", 2).over(w))
-        .where(F.col("nx2").isNotNull())
-        .select("doc_id", F.md5(F.encode(F.concat_ws(" ", "tok", "nxt", "nx2"), "utf-8")).alias("h"))
+    # row-local: 3-token shingle md5s from the token array, fingerprint =
+    # array_min (binary string min == the old MIN() aggregate); the old
+    # plan paid Generate + Exchange + Sort + two lead() windows + a
+    # groupBy shuffle for a per-doc-local computation (guide §2.4)
+    # the array is bound to a COLUMN before any element_at: an inline
+    # split(...) inside a HOF lambda re-evaluates the split per element
+    # access (measured 1.5s -> 1.9s regression before this binding)
+    d = _spread(_read(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("arr"),
     )
-    return sh.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+    arr = F.col("arr")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.md5(
+            F.encode(
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, i),
+                    F.element_at(arr, i + 1),
+                    F.element_at(arr, i + 2),
+                ),
+                "utf-8",
+            )
+        ),
+    )
+    return d.where(F.size(arr) >= 3).select(  # docs w/o a full shingle drop
+        "doc_id",
+        F.array_min(sh).alias("fingerprint"),
+    )
 
 
 SQL_DOC_FINGERPRINT = f"""
@@ -737,31 +890,52 @@ SELECT doc_id, MIN(h) AS fingerprint FROM sh WHERE h IS NOT NULL GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest.
-    Output is rank-only (ints) so the oracle compare is float-free."""
-    e = _read(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
-    )
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    c = e.where(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
+def _vec_dot(a, b) -> F.Column:
+    """Same dot-product expression the original queries used (zip_with +
+    left-to-right aggregate) — kept verbatim so sums round identically."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    nrm = lambda col: F.sqrt(  # noqa: E731
+
+
+def _vec_norm(col) -> F.Column:
+    return F.sqrt(
         F.aggregate(
             F.transform(col, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    j = q.crossJoin(F.broadcast(c)).withColumn("sim", dot / (nrm(F.col("qv")) * nrm(F.col("cv"))))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest.
+    Output is rank-only (ints) so the oracle compare is float-free.
+
+    Orientation + norm hoisting (guide §3.1/§2.4): the old plan broadcast
+    the CORPUS and streamed the 10 queries — all N*10 dot products ran in
+    the query side's 1-2 scan tasks, and both norms were recomputed per
+    pair (per corpus row, its norm was evaluated 10x; per query, N times).
+    Now the 10 queries broadcast, the corpus streams (parallel across scan
+    tasks), and each side's norm is computed once as a column. Identical
+    doubles: same dot/norm expressions over the same vectors, and the
+    (norm_q * norm_c) product is the same multiplication as before."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    ).withColumn("qn", _vec_norm(F.col("qv")))
+    c = _spread(e.where(F.col("vec_id") >= 10)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    ).withColumn("cn", _vec_norm(F.col("cv")))
+    j = c.crossJoin(F.broadcast(q)).withColumn(
+        "sim", _vec_dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         j.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -795,35 +969,54 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"), "embedding"
     )
-    cent = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    # all 8 centroids in ONE broadcast row: the coarse assignment becomes
+    # a row-local argmax over an 8-struct array — the old per-vector
+    # crossJoin(x8) + full-corpus Exchange+Sort+row_number window
+    # disappears (guide §2.4). array_max on (csim, -cid) structs picks
+    # max csim then min cid — exactly the old ORDER BY csim DESC, cid
+    # (Spark's total order on doubles treats NaN as largest in both).
+    # centroid norms computed ONCE centroid-side (same norm expression on
+    # the same vector -> identical double) instead of per corpus row x 8
+    cents = (
+        e.where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .withColumn("cvn", _vec_norm(F.col("cv")))
+        .agg(F.collect_list(F.struct("cid", "cv", "cvn")).alias("cents"))
     )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nrm = lambda col: F.sqrt(dot(col, col))  # noqa: E731
 
     def assign(df, vcol):
-        j = df.crossJoin(F.broadcast(cent)).withColumn(
-            "csim", dot(F.col(vcol), F.col("cv")) / (nrm(F.col(vcol)) * nrm(F.col("cv")))
+        j = df.crossJoin(F.broadcast(cents)).withColumn("_vn", _vec_norm(F.col(vcol)))
+        best = F.array_max(
+            F.transform(
+                "cents",
+                lambda cc: F.struct(
+                    (
+                        _vec_dot(F.col(vcol), cc["cv"])
+                        / (F.col("_vn") * cc["cvn"])
+                    ).alias("s"),
+                    (-cc["cid"]).alias("negcid"),
+                ),
+            )
         )
-        w = Window.partitionBy(*df.columns[:1]).orderBy(F.col("csim").desc(), F.col("cid"))
-        return (
-            j.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
-            .select(*df.columns, F.col("cid").alias("cell"))
-        )
+        return j.select(*df.columns, (-best["negcid"]).alias("cell"))
 
     q = assign(
         e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
         "qv",
     )
     c = assign(
-        e.where(F.col("vec_id") >= 10).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")),
+        _spread(e.where(F.col("vec_id") >= 10)).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+        ),
         "nv",
     )
-    j = q.join(c, "cell").withColumn("sim", dot(F.col("qv"), F.col("nv")) / (nrm(F.col("qv")) * nrm(F.col("nv"))))
+    # 10 assigned queries broadcast against the corpus cells; norms hoisted
+    # to one column per side (same doubles — same expressions, same product)
+    q = q.withColumn("qn", _vec_norm(F.col("qv")))
+    c = c.withColumn("nn", _vec_norm(F.col("nv")))
+    j = c.join(F.broadcast(q), "cell").withColumn(
+        "sim", _vec_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         j.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -870,7 +1063,7 @@ def q_lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket key: sign pattern of 4 deterministic
     pseudo-hyperplanes h_j[i] = (i*31 + j*17) % 7 - 3 — identical integer
     arithmetic in both engines; the scale path for ANN."""
-    e = _read(spark, sf_dir, "embeddings").select(
+    e = _spread(_read(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").cast("long").alias("vec_id"), "embedding"
     )
     def plane_dot(j: int):
