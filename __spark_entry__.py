@@ -3,9 +3,11 @@
 ``entry`` runs the flagship ER pipeline (documents mapped to the
 transcripts input shape) at sf0.001; ``queries``/``oracle_sql`` expose the
 operator inventory from SURVEY.md §2 plus the training-data ops, each with
-a DuckDB oracle where SQL-expressible (the full-pipeline ``er_pipeline``
-entry is rows-only: its CC loop and Arrow UDF scoring are decomposed into
-the oracle'd ``er_*`` slices instead).
+a DuckDB oracle where SQL-expressible — including the full-pipeline
+``er_pipeline`` entry (SQL_ER_PIPELINE re-derives every stage
+relationally); the sole rows-only entry is ``ner_framing`` (WordPiece/
+sentence kernels, golden-tested; its relational skeleton is oracled as
+``ner_framing_shape``).
 """
 
 from __future__ import annotations

@@ -120,30 +120,24 @@ def frame_turns(
     re-anchoring."""
     import pandas as pd
 
-    from bern_spark.functions.pytext import frame_features, tokenize_with_offsets
-    from bern_spark.operators.sentences import sentence_index, word_windows
+    from bern_spark.functions.pytext import (
+        frame_features,
+        sentence_spans,
+        tokenize_with_offsets,
+    )
 
-    sents = sentence_index(turns).select(
-        "conv_id",
-        "turn_idx",
-        "sent_idx",
-        F.col("start").alias("sent_start"),
-        "sentence",
-    )
-    wins = word_windows(
-        sents,
-        window_tokens=window_tokens,
-        keys=("conv_id", "turn_idx", "sent_idx", "sent_start"),
-        text_col="sentence",
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "sent_idx",
-        "win_idx",
-        (F.col("sent_start") + F.col("start")).alias("abs_start"),
-        (F.col("sent_start") + F.col("prev_end")).alias("abs_prev_end"),
-        "chunk",
-    )
+    # ROUND-7 FUSION: the old composition ran THREE chained Python stages
+    # (sentence_spans UDF -> tokens UDF inside word_windows -> framing
+    # mapInPandas), paying the JVM<->Arrow transpose + worker launch three
+    # times and re-tokenizing each window chunk it had already tokenized
+    # (guide §4.1 — control how many times columns cross the boundary).
+    # The same per-window computation now runs in ONE mapInPandas over the
+    # turns, composing the identical pure kernels (sentence_spans,
+    # tokenize_with_offsets, bio_labels, frame_features). Values are
+    # unchanged: window chunk boundaries are token boundaries, so a
+    # window's token list sliced from the sentence tokenization (offsets
+    # re-based to the chunk) IS tokenize_with_offsets(chunk) — the regex
+    # cannot merge across a boundary that starts/ends exactly at a token.
     if mentions is not None:
         # sort_array: collect_list order is task-scheduling-dependent, and
         # bio_labels takes the first overlapping span — unsorted spans made
@@ -151,14 +145,17 @@ def frame_turns(
         spans = mentions.groupBy("conv_id", "turn_idx").agg(
             F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans")
         )
-        wins = wins.join(spans, ["conv_id", "turn_idx"], "left")
+        src = turns.select("conv_id", "turn_idx", "text").join(
+            spans, ["conv_id", "turn_idx"], "left"
+        )
     else:
-        wins = wins.withColumn(
+        src = turns.select("conv_id", "turn_idx", "text").withColumn(
             "spans", F.lit(None).cast("array<struct<start:int,end:int>>")
         )
 
     sc = turns.sparkSession.sparkContext
     bc_vocab = sc.broadcast(dict(vocab_ids))
+    win_t = window_tokens
 
     def _frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocab = bc_vocab.value
@@ -169,39 +166,54 @@ def frame_turns(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                toks = tokenize_with_offsets(r.chunk)
-                words = [t[0] for t in toks]
+                text = r.text
+                if not text:
+                    continue
+                spans = None
                 if r.spans is not None and len(r.spans):
                     spans = [(int(s["start"]), int(s["end"])) for s in r.spans]
-                    labels = bio_labels(
-                        toks,
-                        int(r.abs_start),
-                        spans,
-                        carry_in=r.win_idx > 0,
-                        carry_boundary=(
-                            None if pd.isna(r.abs_prev_end) else int(r.abs_prev_end)
-                        ),
-                    )
-                else:
-                    labels = ["O"] * len(words)
-                f = frame_features(
-                    words,
-                    labels,
-                    vocab,
-                    max_seq_length=max_seq_length,
-                    long_word_cap=long_word_cap,
-                )
-                rows.append(
-                    (
-                        r.conv_id, r.turn_idx, r.sent_idx, r.win_idx,
-                        len(words),
-                        f["ntokens"], f["input_ids"], f["input_mask"],
-                        f["segment_ids"], f["label_ids"],
-                    )
-                )
+                for sent_idx, (ss, se) in enumerate(sentence_spans(text)):
+                    toks = tokenize_with_offsets(text[ss:se])
+                    if not toks:
+                        continue
+                    n_win = -(-len(toks) // win_t)  # ceil
+                    for w in range(n_win):
+                        win = toks[w * win_t : (w + 1) * win_t]
+                        tstart = win[0][1]
+                        # offsets re-based to the window chunk == the old
+                        # tokenize_with_offsets(chunk) output (see above)
+                        ctoks = [(t, a - tstart, b - tstart) for (t, a, b) in win]
+                        words = [t[0] for t in ctoks]
+                        if spans is not None:
+                            labels = bio_labels(
+                                ctoks,
+                                ss + tstart,
+                                spans,
+                                carry_in=w > 0,
+                                carry_boundary=(
+                                    ss + toks[w * win_t - 1][2] if w > 0 else None
+                                ),
+                            )
+                        else:
+                            labels = ["O"] * len(words)
+                        f = frame_features(
+                            words,
+                            labels,
+                            vocab,
+                            max_seq_length=max_seq_length,
+                            long_word_cap=long_word_cap,
+                        )
+                        rows.append(
+                            (
+                                r.conv_id, r.turn_idx, sent_idx, w,
+                                len(words),
+                                f["ntokens"], f["input_ids"], f["input_mask"],
+                                f["segment_ids"], f["label_ids"],
+                            )
+                        )
             yield pd.DataFrame(rows, columns=cols)
 
-    return wins.mapInPandas(_frame, schema=FRAMED_SCHEMA)
+    return src.mapInPandas(_frame, schema=FRAMED_SCHEMA)
 
 
 def export_tfrecords(

@@ -135,16 +135,17 @@ def candidate_pairs(
     ``salting_stats`` reports which blocks sharded so the recall exposure
     is measurable.
     """
-    keyed = surfaces.select(
-        "surface", "etype", F.col("block_key").alias("bkey")
-    ).unionByName(
-        surfaces.select("surface", "etype", F.col("block_key_full").alias("bkey"))
-    )
+    # (surface, etype, bkey) built ROW-LOCAL (round-7): the key families
+    # of one surface collapse into one array_distinct'd array + explode —
+    # the input is a distinct-surface relation, so rows are unique by
+    # construction and the old 3-way union + corpus-of-vocab-sized
+    # dropDuplicates shuffle disappears (guide §2.4).
+    key_arr = F.array(F.col("block_key"), F.col("block_key_full"))
     if use_lsh:
-        keyed = keyed.unionByName(
-            surfaces.select("surface", "etype", F.explode("bands").alias("bkey"))
-        )
-    keyed = keyed.dropDuplicates(["surface", "etype", "bkey"])
+        key_arr = F.concat(key_arr, F.col("bands"))
+    keyed = surfaces.select(
+        "surface", "etype", F.explode(F.array_distinct(key_arr)).alias("bkey")
+    )
 
     sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bsize"))
     keyed = keyed.join(
@@ -200,16 +201,14 @@ def salting_stats(surfaces: DataFrame, max_block_size: int = 200, use_lsh: bool 
     bsize*cap per block instead of bsize^2; the bridge pairs above keep
     cross-shard matches reachable, but a spike here means the block keys
     are too coarse and deserves a look."""
-    keyed = surfaces.select(
-        "surface", "etype", F.col("block_key").alias("bkey")
-    ).unionByName(
-        surfaces.select("surface", "etype", F.col("block_key_full").alias("bkey"))
-    )
+    # same row-local key construction as candidate_pairs (kept identical
+    # so the reported stats always describe the real pairing blocks)
+    key_arr = F.array(F.col("block_key"), F.col("block_key_full"))
     if use_lsh:
-        keyed = keyed.unionByName(
-            surfaces.select("surface", "etype", F.explode("bands").alias("bkey"))
-        )
-    keyed = keyed.dropDuplicates(["surface", "etype", "bkey"])
+        key_arr = F.concat(key_arr, F.col("bands"))
+    keyed = surfaces.select(
+        "surface", "etype", F.explode(F.array_distinct(key_arr)).alias("bkey")
+    )
     return (
         keyed.groupBy("bkey")
         .agg(F.count("*").alias("bsize"))

@@ -129,7 +129,9 @@ def connected_components(
     spark = edges.sparkSession
 
     if lineage_store is not None:
-        def _ckpt(df: DataFrame, tag: str) -> DataFrame:
+        def _ckpt(df: DataFrame, tag: str, eager: bool = True) -> DataFrame:
+            # ``eager`` is the in-memory path's knob; a durable stage is
+            # always materialized by its write pass
             # run_stage: computes+writes once, reads back on resume with
             # a matching fingerprint — the read-back is a fresh parquet
             # scan, so it is lineage-truncated exactly like a checkpoint.
@@ -151,8 +153,17 @@ def connected_components(
                 return (str(man["rows"]), m["sig_h"])
             return None  # pre-metrics manifest: caller scans instead
     else:
-        def _ckpt(df: DataFrame, tag: str) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _ckpt(df: DataFrame, tag: str, eager: bool = False) -> DataFrame:
+            # LAZY by default (round-7): every in-memory checkpoint here
+            # is immediately followed by the _sig aggregate, so the
+            # signature action materializes the checkpoint blocks in the
+            # SAME job — an eager checkpoint ran a separate
+            # materialization job per iteration for nothing. Call sites
+            # that unpersist predecessors WITHOUT an intervening action
+            # (the deferred-release exit path) pass eager=True: a lazy
+            # checkpoint still needs its predecessors' blocks until first
+            # materialization.
+            return df.localCheckpoint(eager=eager)
 
         def _stage_sig(tag: str):
             return None
@@ -248,7 +259,7 @@ def connected_components(
         # deterministic given fingerprint+index; a fixed "final" is not
         # deterministic given the fingerprint alone).
         old_e = e
-        e = _ckpt(e, f"final_i{i:03d}")
+        e = _ckpt(e, f"final_i{i:03d}", eager=True)
         old_e.unpersist()
         for p in pending:
             p.unpersist()

@@ -227,6 +227,36 @@ def lexicon_max_ngram(lexicon: DataFrame, cap: int = MAX_NGRAM) -> int:
     return min(int(n or 1), cap)
 
 
+def lexicon_stats(lexicon: DataFrame, cap: int = MAX_NGRAM) -> tuple[int, int]:
+    """(max_ngram, max rows sharing one surface) in ONE tiny dim-sized
+    job — the two facts that let :func:`extract_mentions` skip provably
+    vacuous corpus-wide stages (round-7 optimization):
+
+    - ``max_ngram == 1``  => every candidate is a single CoNLL token;
+      tokens of one turn are disjoint spans, so no mention can strictly
+      contain another and the containment anti-join is a no-op;
+    - ``max multiplicity == 1`` => a span's surface text determines at
+      most ONE lexicon row, so no span is ever claimed twice and the W9
+      overlap window is a no-op.
+    """
+    r = (
+        lexicon.groupBy("surface")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.max(
+                F.size(
+                    F.regexp_extract_all(
+                        "surface", F.lit(r"[0-9a-zA-Z]+|[^0-9a-zA-Z\s]"), 0
+                    )
+                )
+            ).alias("n"),
+            F.max("c").alias("m"),
+        )
+        .collect()[0]
+    )
+    return min(int(r["n"] or 1), cap), int(r["m"] or 0)
+
+
 def extract_mentions(
     transcripts: DataFrame,
     lexicon: DataFrame,
@@ -239,17 +269,28 @@ def extract_mentions(
     Returns one row per surviving mention:
     (conv_id, turn_idx, start, end, mention, etype, score, mention_id).
     """
+    # multiplicity only matters for the W9-skip below; when the caller
+    # pins max_ngram we stay conservative (run W9) rather than pay a
+    # second lexicon job
+    unique_surfaces = False
     if max_ngram is None:
-        max_ngram = lexicon_max_ngram(lexicon)
+        max_ngram, mult = lexicon_stats(lexicon)
+        unique_surfaces = mult <= 1
     # Parallelism floor: small-file sources get coalesced by
     # spark.sql.files.maxPartitionBytes into a handful of scan partitions,
     # which would serialize the Arrow tokenizer (measured: flat wall time
     # from 4 to 16 cores). Repartition up-front when the scan is narrower
     # than the cluster; at real scale input partitions >> cores and this
-    # is a no-op.
+    # is a no-op. BOTH signals are needed: with a scan-parallelism floor
+    # (session.py minPartitionNum) a single-file table reports
+    # cores-many byte splits, but a 1-row-group parquet file still feeds
+    # every row through one split — the file count is the honest signal
+    # there, while getNumPartitions covers filtered/derived inputs.
     if not transcripts.isStreaming:
         target = transcripts.sparkSession.sparkContext.defaultParallelism
-        if transcripts.rdd.getNumPartitions() < target:
+        files = transcripts.inputFiles()
+        few_files = 0 < len(files) < target
+        if few_files or transcripts.rdd.getNumPartitions() < target:
             transcripts = transcripts.repartition(target)
     turns = with_canonical_text(transcripts)
 
@@ -286,41 +327,53 @@ def extract_mentions(
     # 4. longest-match containment pruning within (turn, etype): drop a
     # mention strictly contained in a longer same-type mention. Self
     # anti-join keyed by the turn — blocks are tiny, AQE handles residue.
-    a, b = m.alias("a"), m.alias("b")
-    contained = a.join(
-        b,
-        on=[
-            F.col("a.conv_id") == F.col("b.conv_id"),
-            F.col("a.turn_idx") == F.col("b.turn_idx"),
-            F.col("a.etype") == F.col("b.etype"),
-            F.col("b.start") <= F.col("a.start"),
-            F.col("b.end") >= F.col("a.end"),
-            (F.col("b.end") - F.col("b.start")) > (F.col("a.end") - F.col("a.start")),
-        ],
-        how="left_semi",
-    )
-    m = a.join(
-        contained.select(
-            F.col("a.conv_id").alias("conv_id"),
-            F.col("a.turn_idx").alias("turn_idx"),
-            F.col("a.start").alias("start"),
-            F.col("a.end").alias("end"),
-            F.col("a.etype").alias("etype"),
-        ),
-        on=["conv_id", "turn_idx", "start", "end", "etype"],
-        how="left_anti",
-    )
+    # VACUOUS for a unigram lexicon (guide §2.4 — remove shuffles
+    # outright): max_ngram == 1 makes every candidate a single token,
+    # tokens of a turn are disjoint spans, and "strictly contains" needs
+    # a strictly longer covering span — impossible, so both corpus-sized
+    # join shuffles are skipped.
+    if max_ngram > 1:
+        a, b = m.alias("a"), m.alias("b")
+        contained = a.join(
+            b,
+            on=[
+                F.col("a.conv_id") == F.col("b.conv_id"),
+                F.col("a.turn_idx") == F.col("b.turn_idx"),
+                F.col("a.etype") == F.col("b.etype"),
+                F.col("b.start") <= F.col("a.start"),
+                F.col("b.end") >= F.col("a.end"),
+                (F.col("b.end") - F.col("b.start")) > (F.col("a.end") - F.col("a.start")),
+            ],
+            how="left_semi",
+        )
+        m = a.join(
+            contained.select(
+                F.col("a.conv_id").alias("conv_id"),
+                F.col("a.turn_idx").alias("turn_idx"),
+                F.col("a.start").alias("start"),
+                F.col("a.end").alias("end"),
+                F.col("a.etype").alias("etype"),
+            ),
+            on=["conv_id", "turn_idx", "start", "end", "etype"],
+            how="left_anti",
+        )
 
     # 5. W9: identical spans claimed by >1 etype -> keep max score; a tie
     # keeps both (the reference's == fall-through, ops.py:292-298).
-    from pyspark.sql import Window
+    # VACUOUS when no surface occurs in more than one lexicon row: an
+    # identical (turn, start, end) span has identical surface text, so
+    # multiple claims on one span can only come from multiple lexicon
+    # rows for that surface — the window (a full corpus Exchange+Sort)
+    # is skipped when lexicon_stats proved multiplicity 1.
+    if not unique_surfaces:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("conv_id", "turn_idx", "start", "end")
-    m = (
-        m.withColumn("_max_score", F.max("score").over(w))
-        .where(F.col("score") == F.col("_max_score"))
-        .drop("_max_score")
-    )
+        w = Window.partitionBy("conv_id", "turn_idx", "start", "end")
+        m = (
+            m.withColumn("_max_score", F.max("score").over(w))
+            .where(F.col("score") == F.col("_max_score"))
+            .drop("_max_score")
+        )
 
     # 6. P5 species stoplist (exact surface match, utils.py:279-308)
     if apply_species_filter:

@@ -156,38 +156,107 @@ def attach_metadata(normalized: DataFrame, meta: DataFrame, etype: str) -> DataF
     ).drop("ext_ids")
 
 
+def _tagged_dict(dicts: dict[str, DataFrame]) -> DataFrame:
+    """All J1-J5 dictionaries as ONE tagged lookup relation
+    ``(join_key, oid)`` with per-branch key prefixes, priorities resolved
+    DICT-side (round-7 optimization — the old per-etype fan-out built 8
+    broadcast relations and re-scanned the mentions 6 times; this builds
+    one broadcast and scans the mentions once):
+
+    - ``drug|`` / ``dis|``: tmChem key of the name (J1/J4);
+    - ``mut|``: raw name (J3 — the QUERY side keys by mutation_head);
+    - ``spe|`` / ``spl|``: raw name for the exact and lowercase-query
+      species levels (J2 — dict keys stay raw in both, only the query
+      key lowers on the fallback level, species_normalizer.py:49-50);
+    - ``gene|``: the 3-dictionary cascade (J5) collapsed by priority:
+      min(struct(priority, min-oid-within-dict)) == coalesce of the three
+      per-dict min-oid lookups, because a lower priority wins whenever
+      its dict has the key at all.
+
+    Prefixes all end in ``|`` and none is a prefix of another, so tagged
+    keys cannot collide across branches. Per (tag, key) the min() dedup
+    reproduces _bcast_lookup's first-wins determinism."""
+    def tag(df: DataFrame, t: str, key_expr, prio: int) -> DataFrame:
+        return df.select(
+            F.concat(F.lit(t), key_expr(F.col("name"))).alias("join_key"),
+            F.lit(prio).alias("_prio"),
+            "oid",
+        )
+
+    ident = lambda c: c  # noqa: E731
+    parts = [
+        tag(dicts["dict_drug"], "drug|", tmchem_key, 0),
+        tag(dicts["dict_disease"], "dis|", tmchem_key, 0),
+        tag(dicts["dict_mutation"], "mut|", ident, 0),
+        tag(dicts["dict_species"], "spe|", ident, 0),
+        tag(dicts["dict_species"], "spl|", ident, 0),
+        tag(dicts["dict_gene"], "gene|", ident, 0),
+        tag(dicts["dict_gene_oldbest"], "gene|", ident, 1),
+        tag(dicts["dict_gene_freq"], "gene|", ident, 2),
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # two-level min: min oid within (key, prio) like _bcast_lookup, then
+    # lowest prio wins across gene dicts — one struct-min does both
+    return (
+        u.groupBy("join_key")
+        .agg(F.min(F.struct("_prio", "oid")).alias("_m"))
+        .select("join_key", F.col("_m.oid").alias("_doid"))
+    )
+
+
 def normalize_all(
     mentions: DataFrame,
     dicts: dict[str, DataFrame],
 ) -> DataFrame:
-    """Route each etype through its normalizer and union by name — the
-    DataFrame form of the reference's per-type thread fan-out
-    (normalize.py:255-267). ``dicts`` holds dict_/meta_ tables by name.
+    """Route each etype through its normalizer — the DataFrame form of the
+    reference's per-type thread fan-out (normalize.py:255-267). ``dicts``
+    holds dict_/meta_ tables by name.
+
+    Single-pass form (round-7): instead of splitting the mentions into 6
+    etype branches (6 scans of the corpus-sized relation, 8 broadcast
+    builds, 6-way union), every branch's lookup key is computed row-local
+    with an etype-dispatched prefix and resolved against ONE tagged
+    broadcast dictionary in two left joins (the second join exists only
+    for the species lowercase-fallback level, which needs a second query
+    key). Per-branch oid semantics (coalesce order, J9 taxid transform,
+    gene id rooting, CUI-less on miss) are unchanged — see _tagged_dict.
 
     Unknown etypes (e.g. regex-tagger types without a dictionary) pass
     through as CUI-less.
     """
-    parts = []
-    e = lambda t: mentions.where(F.col("etype") == t)  # noqa: E731
-    parts.append(normalize_drug(e("drug"), dicts["dict_drug"]))
-    parts.append(normalize_species(e("species"), dicts["dict_species"]))
-    parts.append(normalize_mutation(e("mutation"), dicts["dict_mutation"]))
-    parts.append(normalize_disease(e("disease"), dicts["dict_disease"]))
-    parts.append(
-        normalize_gene(
-            e("gene"),
-            dicts["dict_gene"],
-            dicts["dict_gene_oldbest"],
-            dicts["dict_gene_freq"],
-        )
+    lookup = F.broadcast(_tagged_dict(dicts))
+    k1 = (
+        F.when(F.col("etype") == "drug", F.concat(F.lit("drug|"), tmchem_key(F.col("mention"))))
+        .when(F.col("etype") == "disease", F.concat(F.lit("dis|"), tmchem_key(F.col("mention"))))
+        .when(F.col("etype") == "mutation", F.concat(F.lit("mut|"), mutation_head(F.col("mention"))))
+        .when(F.col("etype") == "species", F.concat(F.lit("spe|"), F.col("mention")))
+        .when(F.col("etype") == "gene", F.concat(F.lit("gene|"), gene_suffix_strip(F.col("mention"))))
     )
-    known = {"drug", "species", "mutation", "disease", "gene"}
-    rest = mentions.where(~F.col("etype").isin(*known)).withColumn("oid", F.lit(CUI_LESS))
-    parts.append(rest)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    k2 = F.when(
+        F.col("etype") == "species",
+        F.concat(F.lit("spl|"), species_fallback_key(F.col("mention"))),
+    )
+    l1 = lookup.select(F.col("join_key").alias("_k1"), F.col("_doid").alias("_oid1"))
+    l2 = lookup.select(F.col("join_key").alias("_k2"), F.col("_doid").alias("_oid2"))
+    out = (
+        mentions.withColumn("_k1", k1)
+        .withColumn("_k2", k2)
+        .join(l1, "_k1", "left")
+        .join(l2, "_k2", "left")
+    )
+    sp = F.coalesce("_oid1", "_oid2")
+    oid = (
+        F.when(F.col("etype") == "species",
+               F.when(sp.isNull(), F.lit(CUI_LESS)).otherwise(species_taxid(sp)))
+        .when(F.col("etype") == "gene",
+              F.when(F.col("_oid1").isNull(), F.lit(CUI_LESS)).otherwise(gene_id_root(F.col("_oid1"))))
+        .when(F.col("etype").isin("drug", "disease", "mutation"),
+              F.coalesce("_oid1", F.lit(CUI_LESS)))
+        .otherwise(F.lit(CUI_LESS))
+    )
+    return out.withColumn("oid", oid).drop("_k1", "_k2", "_oid1", "_oid2")
 
 
 def cuiless_ratio(normalized: DataFrame) -> DataFrame:

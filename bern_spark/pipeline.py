@@ -86,10 +86,11 @@ def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
       connector needs to be installed to run this code.
     - **V1 catalog tables** (Hive/Derby metastore parquet), unpartitioned
       with a locally statable location: table identifier + the location
-      directory's (size, mtime_ns) — appends/overwrites create or remove
-      files directly under the root, bumping the directory mtime; O(1)
-      driver work. Partitioned or remote-location tables return None
-      (writes land in partition subdirs the root stat can't see) and the
+      directory's (size, mtime_ns) + a digest of every direct child's
+      (name, size, mtime_ns) from one os.scandir — O(direct children)
+      driver work, catching in-place rewrites the root stat alone would
+      miss. Partitioned or remote-location tables return None
+      (writes land in partition subdirs the root scan can't see) and the
       caller falls back to the file walk.
 
     Returns one token per leaf, or None if ANY leaf is not identifiable
@@ -159,11 +160,12 @@ def _catalog_leaf_tokens(df: DataFrame) -> list[str] | None:
                     # O(direct children), no recursion (unpartitioned
                     # tables keep data files directly under the root).
                     h = hashlib.sha256()
-                    for e in sorted(os.scandir(p), key=lambda e: e.name):
-                        est = e.stat()
-                        h.update(
-                            f"{e.name}:{est.st_size}:{est.st_mtime_ns};".encode()
-                        )
+                    with os.scandir(p) as it:
+                        for e in sorted(it, key=lambda e: e.name):
+                            est = e.stat()
+                            h.update(
+                                f"{e.name}:{est.st_size}:{est.st_mtime_ns};".encode()
+                            )
                     tok = (
                         f"table:{ct.identifier().toString()}:"
                         f"dir:{st.st_size}:{st.st_mtime_ns}:{h.hexdigest()[:16]}"
@@ -359,7 +361,12 @@ def resolve_entities(
             return lineage_store.run_stage(spark, name, lambda: df, fingerprint=fp)
 
     elif cfg.checkpoint_stages:
-        cut = lambda df: df.localCheckpoint()  # noqa: E731
+        # LAZY checkpoints (round-7): the cut still truncates the logical
+        # plan immediately (analysis stays O(stage)), but materialization
+        # rides the first downstream action instead of paying a separate
+        # eager job per stage — nothing here unpersists a cut, so the
+        # lazy blocks are always reachable until computed.
+        cut = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
     else:
         cut = lambda df: df.persist()  # noqa: E731
 
@@ -521,22 +528,38 @@ def resolve_entities(
     ).drop("_snode", "_scluster")
     labels = clustered.select("node", "cluster_id")
 
-    # metadata attach (J7/J8) per etype, union back
-    parts = []
+    # metadata attach (J7/J8) in ONE pass (round-7): the old per-etype
+    # fan-out scanned the clustered relation 4 times and unioned back;
+    # the three meta dims instead union into one etype-tagged broadcast
+    # ((etype, oid) -> ext_ids, gene ids HGNC-fixed meta-side exactly as
+    # attach_metadata does) and the no-meta branch is the same norm_ids
+    # expression with ext_ids null — attach_metadata stays the
+    # single-etype public operator; semantics per row unchanged.
+    from bern_spark.functions.keys import hgnc_fix
+
+    meta_parts = []
     for etype, meta_key in (("gene", "meta_gene"), ("disease", "meta_disease"), ("drug", "meta_drug")):
-        parts.append(
-            attach_metadata(clustered.where(F.col("etype") == etype), dicts[meta_key], etype)
+        meta_parts.append(
+            dicts[meta_key].select(
+                F.lit(etype).alias("etype"),
+                "oid",
+                F.transform(F.col("ext_ids"), hgnc_fix).alias("ext_ids")
+                if etype == "gene"
+                else F.col("ext_ids"),
+            )
         )
-    others = clustered.where(~F.col("etype").isin("gene", "disease", "drug")).withColumn(
+    meta_all = meta_parts[0]
+    for p in meta_parts[1:]:
+        meta_all = meta_all.unionByName(p)
+    final = clustered.join(F.broadcast(meta_all), ["etype", "oid"], "left").withColumn(
         "norm_ids",
         F.when(F.col("oid") == CUI_LESS, F.array(F.lit(CUI_LESS))).otherwise(
-            F.array(F.concat(F.lit("BERN:"), F.col("oid")))
+            F.concat(
+                F.coalesce(F.col("ext_ids"), F.array().cast("array<string>")),
+                F.array(F.concat(F.lit("BERN:"), F.col("oid"))),
+            )
         ),
-    )
-    final = parts[0]
-    for p in parts[1:]:
-        final = final.unionByName(p)
-    final = final.unionByName(others)
+    ).drop("ext_ids")
 
     # W11 output ordering lives where it is observable: the per-turn
     # ``denotations`` arrays below are sort_array'd by (start, etype), and
