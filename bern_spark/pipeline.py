@@ -428,8 +428,17 @@ def resolve_entities(
                 progress_jobs=cfg.extract_progress_jobs,
                 fingerprint=fp,
             ).drop("_bucket")
-    else:
+    elif lineage_store is not None:
+        # durable stage_01: with a store the cut is about RESUMABILITY,
+        # not reuse — keep it
         mentions = cut(_build_mentions(transcripts))
+    else:
+        # no cut: the single-pass normalize_all (round-7) consumes the
+        # mentions relation exactly ONCE, so an in-memory checkpoint here
+        # would buy no reuse and cost one extra materialization boundary
+        # per run; extraction materializes inside the `normalized` cut
+        # right below instead.
+        mentions = _build_mentions(transcripts)
     normalized = normalize_all(mentions, dicts)
     if mirna_dict is not None:
         from bern_spark.operators.normalize import CUI_LESS as _CL
