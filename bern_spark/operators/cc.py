@@ -89,6 +89,7 @@ def connected_components(
     lineage_store=None,
     fingerprint: str | None = None,
     stage_prefix: str = "cc",
+    broadcast_labels_max_edges: int = 200_000,
 ) -> DataFrame:
     """Return (node, cluster_id) with cluster_id = min node id in component.
 
@@ -168,11 +169,14 @@ def connected_components(
         def _stage_sig(tag: str):
             return None
 
+    # NOT persisted: no action inside this function ever materializes the
+    # node relation (it is consumed only by the caller's first action on
+    # the returned labels), so the old persist()+unpersist() pair filled
+    # nothing and merely registered/unregistered cache entries (round-7).
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .dropDuplicates()
-        .persist()
     )
     # localCheckpoint only (no Dataset-level persist first): an eager
     # checkpoint materializes its own RDD blocks, and a persist() before
@@ -194,6 +198,7 @@ def connected_components(
         return (str(r["n"]), str(r["h"]))
 
     sig = _stage_sig("init") or _sig(e)
+    n_init_edges = int(sig[0])
     converged = False
     prev_e = e
     # Predecessors a cache-only successor may still need for recompute:
@@ -285,5 +290,16 @@ def connected_components(
     # node appearing as dst under two roots cannot happen post-convergence;
     # guard with min() for determinism anyway.
     out = out.groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
-    nodes.unpersist()
+    # Runtime-informed join hint (guide §3.1 — broadcast the side you
+    # KNOW is small): labels rows <= nodes <= 2 x initial canonical
+    # edges, and the init signature already measured that count for
+    # free. Downstream the labels relation joins back against the
+    # corpus-sized mentions, but its plan leaf is a checkpoint RDD with
+    # UNKNOWN stats, so the planner assumes huge and plans a sort-merge
+    # (AQE only demotes it after the mentions side's map stage has
+    # already shuffled). The hint fires only when the measured graph is
+    # small; at 10^8-surface scale n_init_edges is large, no hint is
+    # attached, and AQE stays free to choose (the pipeline.py contract).
+    if n_init_edges <= broadcast_labels_max_edges:
+        out = F.broadcast(out)
     return out
