@@ -273,9 +273,33 @@ def extract_mentions(
     # pins max_ngram we stay conservative (run W9) rather than pay a
     # second lexicon job
     unique_surfaces = False
+    first_toks = None
     if max_ngram is None:
-        max_ngram, mult = lexicon_stats(lexicon)
-        unique_surfaces = mult <= 1
+        # ONE dim-sized job derives anchors + max_ngram + multiplicity
+        # together (was two: the anchor collect and the stats aggregate).
+        # The bounded collect caps driver memory exactly like
+        # anchor_set_for; oversized vocabularies fall back to the
+        # separate Bloom + aggregate path below.
+        head = (
+            lexicon.groupBy("surface")
+            .agg(F.count("*").alias("c"))
+            .select(
+                "c",
+                F.regexp_extract("surface", _TOK_RE_SQL, 0).alias("ft"),
+                F.size(
+                    F.regexp_extract_all("surface", F.lit(_TOK_RE_SQL), 0)
+                ).alias("nt"),
+            )
+            .limit(ANCHOR_EXACT_LIMIT + 1)
+            .collect()
+        )
+        if len(head) <= ANCHOR_EXACT_LIMIT:
+            first_toks = frozenset(r["ft"] for r in head)
+            max_ngram = min(max((int(r["nt"]) for r in head), default=1) or 1, MAX_NGRAM)
+            unique_surfaces = all(r["c"] == 1 for r in head)
+        else:
+            max_ngram, mult = lexicon_stats(lexicon)
+            unique_surfaces = mult <= 1
     # Parallelism floor: small-file sources get coalesced by
     # spark.sql.files.maxPartitionBytes into a handful of scan partitions,
     # which would serialize the Arrow tokenizer (measured: flat wall time
@@ -295,9 +319,12 @@ def extract_mentions(
     turns = with_canonical_text(transcripts)
 
     # anchor set: first CoNLL token of every lexicon surface — exact set
-    # when vocab-sized, executor-built Bloom filter beyond (bounded driver
-    # memory + bounded task-closure size at 10^8-surface scale)
-    first_toks = anchor_set_for(lexicon)
+    # when vocab-sized (already collected by the combined stats job
+    # above when max_ngram was derived), executor-built Bloom filter
+    # beyond (bounded driver memory + bounded task-closure size at
+    # 10^8-surface scale)
+    if first_toks is None:
+        first_toks = anchor_set_for(lexicon)
     cands_udf = make_anchored_candidates_udf(first_toks, max_ngram)
     cands = turns.select(
         "conv_id", "turn_idx", F.explode(cands_udf(F.col("text"))).alias("_s")
